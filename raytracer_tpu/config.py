@@ -1,0 +1,55 @@
+"""Render configuration.
+
+The reference hardcodes every knob in main() (src/main.rs:1084-1174:
+1280x960, depth 5, 100 epochs, focus 3.0, blur 0.04, threshold 0.001,
+max refract distance 100.0, 10 TIR retries).  Here they are a config
+dataclass; the defaults reproduce the reference's values.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    width: int = 1280
+    height: int = 960
+    # Bounce depth for both the Whitted and the distributed pass
+    # (reference: src/main.rs:1098, src/main.rs:1139).
+    depth: int = 5
+    # Contribution cutoff of the Whitted tracer (src/main.rs:467).
+    threshold: float = 0.001
+    # Interior-march budget of get_refract (src/main.rs:378, call sites
+    # src/main.rs:505/601 pass 100.0).
+    max_refract_distance: float = 100.0
+    max_tir_retries: int = 10
+    # Distributed pass (src/main.rs:1129-1148).
+    epochs: int = 100
+    focus: float = 3.0
+    blur: float = 0.04
+    # Tone normalization percentile (src/main.rs:754 uses 0.99).
+    percentile: float = 0.99
+
+    # --- TPU execution knobs (no reference equivalent) ---
+    # Rays per device tile; the image is rendered in tiles of this many
+    # pixels so wavefront buffers stay bounded.
+    tile_rays: int = 1 << 16
+    # Wavefront pool capacity factor: the bounce-ray pool holds
+    # capacity_factor * tile_rays slots.  2 is lossless for the demo scene
+    # (amplification is pruned by the contribution threshold); raise it for
+    # scenes with many nested dielectrics.
+    capacity_factor: int = 2
+    # f32 everywhere (geometry needs it); kept as a knob for experiments.
+    dtype: str = "float32"
+
+    @property
+    def n_pixels(self) -> int:
+        return self.width * self.height
+
+
+# Preset matching the reference binary exactly.
+REFERENCE_CONFIG = RenderConfig()
+
+# The BASELINE.json north-star target frame.
+NORTH_STAR_CONFIG = RenderConfig(width=1024, height=1024)

@@ -1,0 +1,26 @@
+"""Test harness config: run JAX on CPU with 8 virtual devices.
+
+Multi-chip logic is tested hardware-free via virtual CPU devices;
+bench.py runs on the real chip.  Note: this container's sitecustomize
+imports jax at interpreter start and points JAX_PLATFORMS at a TPU
+tunnel ("axon"), so plain env vars are too late here — we must override
+through jax.config before any backend is initialized.
+"""
+
+import os
+
+# Belt: env vars (effective if jax is somehow not yet imported).
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# Suspenders: jax.config (effective when jax was already imported by
+# sitecustomize, as long as no backend has been initialized yet).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
