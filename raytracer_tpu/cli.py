@@ -1,0 +1,66 @@
+"""Command-line driver.
+
+The reference has no CLI — everything is hardcoded in main()
+(src/main.rs:809-1174).  This exposes the same schedule (Whitted pass, then
+progressive stochastic epochs, PNG after every epoch) with the reference's
+defaults, plus the knobs SURVEY.md §5.6 calls for.
+
+    python -m raytracer_tpu --scene demo --epochs 100 --out out.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+
+from raytracer_tpu.config import RenderConfig
+from raytracer_tpu.parallel.progressive import render_progressive
+from raytracer_tpu.scene.presets import PRESETS, demo_camera
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="raytracer_tpu", description=__doc__)
+    p.add_argument("--scene", default="demo", choices=sorted(PRESETS.keys()))
+    p.add_argument("--width", type=int, default=1280)
+    p.add_argument("--height", type=int, default=960)
+    p.add_argument("--depth", type=int, default=5)
+    p.add_argument("--epochs", type=int, default=100,
+                   help="stochastic epochs after the Whitted pass (0 = Whitted only)")
+    p.add_argument("--focus", type=float, default=3.0)
+    p.add_argument("--blur", type=float, default=0.04)
+    p.add_argument("--out", default="out.png")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--checkpoint", default=None,
+                   help="npz path for epoch-granular resume")
+    p.add_argument("--tile-rays", type=int, default=1 << 16)
+    p.add_argument("--obj", default=None, help="override dodecahedron OBJ path")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = RenderConfig(
+        width=args.width,
+        height=args.height,
+        depth=args.depth,
+        epochs=args.epochs,
+        focus=args.focus,
+        blur=args.blur,
+        tile_rays=args.tile_rays,
+    )
+    preset = PRESETS[args.scene]
+    try:
+        scene, textures = preset(obj_path=args.obj)  # type: ignore[call-arg]
+    except TypeError:
+        scene, textures = preset()
+    camera = demo_camera()
+    render_progressive(
+        scene, textures, camera, cfg,
+        out_path=args.out, seed=args.seed, checkpoint_path=args.checkpoint,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,366 @@
+"""Wavefront Whitted tracer.
+
+TPU-native re-design of World::ray_trace (src/main.rs:466-519) and
+World::get_refract (343-405).  The reference's CPU call-stack recursion
+(shade + reflect-child + refract-child per hit, depth 5) flattens into a
+fixed-depth iterative *level loop* over a bounded ray pool:
+
+  level 0 holds the primary rays; processing a level casts all live rays,
+  accumulates the weighted direct shade into the framebuffer via a
+  scatter-add keyed by each ray's pixel slot, and emits up to two child
+  rays per hit (reflect + refract-escape), weighted exactly like the
+  reference's contribution products and pruned at the same 0.001 threshold.
+  The 2K child candidates are compacted into the K-slot pool with a
+  prefix-sum scatter; overflow is counted (zero for the demo scenes with
+  capacity_factor=2).
+
+The data-dependent total-internal-reflection interior march (343-405:
+up to 10 reflective bounces inside a dielectric, distance budget) runs as a
+masked lax.while_loop over the whole pool — iterations continue while any
+lane still marches, exactly bounding work the way the reference bounds its
+per-ray loop.
+
+Whitted composition parity notes (all src/main.rs):
+  * weights: shade=(1-shiness)(1-transparency), reflect=shiness(1-transp),
+    refract=transparency (480-503);
+  * shade is only *computed* when contribution*shade_c >= 0.001 (482) but
+    at depth 0 the recursion returns the UNWEIGHTED shade (488-490) — the
+    parent's branch factor applies, the local shade factor does not;
+  * reflect children prune at >= threshold (495), refract at > (504);
+  * the refract result is scaled by opaque_decay^travel_distance (508).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from raytracer_tpu.config import RenderConfig
+from raytracer_tpu.ops import materials as mat_ops
+from raytracer_tpu.ops.intersect import cast
+from raytracer_tpu.ops.shade import get_shade
+from raytracer_tpu.scene.types import (
+    FACE_BACK,
+    FACE_FRONT,
+    NO_EXCLUDE,
+    Rays,
+    Scene,
+)
+from raytracer_tpu.utils import vec
+
+
+def refract_dir(normal, direction, k):
+    """Snell refraction (src/main.rs:344-352).
+
+    Returns (refracted unit dir [N,3], ok [N]); ok=False is total internal
+    reflection.  Condition and formula match the reference exactly:
+    cos = -l.n; refract iff k^2 >= 1 - cos^2;
+    t = (l + n cos)/k - n sqrt(1 - (1-cos^2)/k^2), then normalized.
+    """
+    cos = -vec.dot(direction, normal)
+    sin2 = 1.0 - cos * cos
+    ok = k * k >= sin2
+    inner = jnp.maximum(1.0 - sin2 / (k * k), 0.0)
+    t = (direction + normal * cos[:, None]) / k[:, None] - normal * jnp.sqrt(inner)[
+        :, None
+    ]
+    t = t / jnp.maximum(vec.norm(t), 1e-30)[:, None]
+    return t, ok
+
+
+class MarchResult(NamedTuple):
+    escaped: jnp.ndarray  # [N] bool — Refraction::Escaped
+    travel: jnp.ndarray  # [N] accumulated interior distance
+    esc_o: jnp.ndarray  # [N, 3] escape origin
+    esc_d: jnp.ndarray  # [N, 3] escape direction (unit)
+    esc_prim: jnp.ndarray  # [N] primitive to exclude on its BACK face
+    casts: jnp.ndarray  # scalar — rays cast during the march
+
+
+def refract_march(
+    scene: Scene,
+    pos,
+    normal,
+    ray_d,
+    prim,
+    k,
+    want,
+    cfg: RenderConfig,
+) -> MarchResult:
+    """World::get_refract flattened (src/main.rs:343-405).
+
+    pos/normal/ray_d/prim: the entry hit; k: refraction index sample;
+    want: lanes that need refraction.  Misses inside the dielectric
+    (Refraction::Infinite) and still-trapped rays both yield escaped=False,
+    matching both call sites treating them as black (508-511, 605-611).
+    """
+    n = pos.shape[0]
+
+    rin, ok_in = refract_dir(normal, ray_d, k)
+    active0 = want & ok_in  # TIR at entry -> Trapped
+
+    rays_in = Rays(
+        o=pos,
+        d=rin,
+        face=jnp.full((n,), FACE_BACK, jnp.int32),
+        excl_prim=prim,
+        excl_face=jnp.full((n,), FACE_FRONT, jnp.int32),
+    )
+    h = cast(scene, rays_in, active=active0)
+    casts = jnp.sum(active0)
+    alive = active0 & h.valid  # miss -> Infinite -> black
+
+    travel = jnp.where(alive, vec.distance(h.pos, pos), 0.0)
+    rout, ok_out = refract_dir(h.normal, rin, 1.0 / k)
+
+    # Loop state: current interior hit + current interior direction.
+    state = dict(
+        cur_pos=h.pos,
+        cur_normal=h.normal,
+        cur_prim=h.prim,
+        cur_d=rin,
+        rout=rout,
+        has_out=alive & ok_out,
+        alive=alive,
+        travel=travel,
+        retry=jnp.zeros((n,), jnp.int32),
+        casts=casts,
+    )
+
+    def pending(s):
+        return (
+            s["alive"]
+            & ~s["has_out"]
+            & (s["travel"] <= cfg.max_refract_distance)
+            & (s["retry"] < cfg.max_tir_retries)
+        )
+
+    def cond(s):
+        return jnp.any(pending(s))
+
+    def body(s):
+        p = pending(s)
+        # get_reflect on the interior hit (src/main.rs:380): reflect the
+        # interior direction about the (backface-flipped) normal; the new
+        # ray keeps face=Back and excludes the hit primitive's FRONT side.
+        refl = vec.reflect(s["cur_d"], s["cur_normal"])
+        refl = refl / jnp.maximum(vec.norm(refl), 1e-30)[:, None]
+        rays = Rays(
+            o=s["cur_pos"],
+            d=refl,
+            face=jnp.full((n,), FACE_BACK, jnp.int32),
+            excl_prim=s["cur_prim"],
+            excl_face=jnp.full((n,), FACE_FRONT, jnp.int32),
+        )
+        h2 = cast(scene, rays, active=p)
+        step_alive = p & h2.valid  # interior miss -> Infinite -> dead
+
+        travel2 = s["travel"] + jnp.where(
+            step_alive, vec.distance(h2.pos, s["cur_pos"]), 0.0
+        )
+        rout2, ok2 = refract_dir(h2.normal, refl, 1.0 / k)
+
+        upd = step_alive[:, None]
+        return dict(
+            cur_pos=jnp.where(upd, h2.pos, s["cur_pos"]),
+            cur_normal=jnp.where(upd, h2.normal, s["cur_normal"]),
+            cur_prim=jnp.where(step_alive, h2.prim, s["cur_prim"]),
+            cur_d=jnp.where(upd, refl, s["cur_d"]),
+            rout=jnp.where(upd, rout2, s["rout"]),
+            has_out=jnp.where(step_alive, ok2, s["has_out"]),
+            alive=jnp.where(p, step_alive, s["alive"]),
+            travel=jnp.where(step_alive, travel2, s["travel"]),
+            retry=s["retry"] + p.astype(jnp.int32),
+            casts=s["casts"] + jnp.sum(p),
+        )
+
+    state = jax.lax.while_loop(cond, body, state)
+
+    escaped = state["alive"] & state["has_out"]
+    return MarchResult(
+        escaped=escaped,
+        travel=state["travel"],
+        esc_o=state["cur_pos"],
+        esc_d=state["rout"],
+        esc_prim=state["cur_prim"],
+        casts=state["casts"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wavefront pool
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class Pool:
+    """Bounded wavefront ray pool (one level of the flattened recursion)."""
+
+    o: jnp.ndarray  # [K, 3]
+    d: jnp.ndarray  # [K, 3]
+    face: jnp.ndarray  # [K]
+    excl_prim: jnp.ndarray  # [K]
+    excl_face: jnp.ndarray  # [K]
+    slot: jnp.ndarray  # [K] output pixel index
+    c: jnp.ndarray  # [K] contribution (threshold bookkeeping, main.rs:668-680)
+    s: jnp.ndarray  # [K] accumulated scale incl. opaque decay
+    alive: jnp.ndarray  # [K]
+
+    def rays(self) -> Rays:
+        return Rays(
+            o=self.o, d=self.d, face=self.face,
+            excl_prim=self.excl_prim, excl_face=self.excl_face,
+        )
+
+
+Pool = partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["o", "d", "face", "excl_prim", "excl_face", "slot", "c", "s", "alive"],
+    meta_fields=[],
+)(Pool)
+
+
+def _empty_pool(k: int, dtype=jnp.float32) -> dict:
+    return dict(
+        o=jnp.zeros((k, 3), dtype),
+        d=jnp.zeros((k, 3), dtype),
+        face=jnp.zeros((k,), jnp.int32),
+        excl_prim=jnp.full((k,), NO_EXCLUDE, jnp.int32),
+        excl_face=jnp.zeros((k,), jnp.int32),
+        slot=jnp.zeros((k,), jnp.int32),
+        c=jnp.zeros((k,), dtype),
+        s=jnp.zeros((k,), dtype),
+        alive=jnp.zeros((k,), bool),
+    )
+
+
+def _compact(candidates: Pool, k: int):
+    """Prefix-sum compaction of candidate rays into a fresh K-slot pool.
+
+    Returns (pool, dropped_count).  Lanes beyond capacity are dropped —
+    callers surface the count so silent truncation is visible.
+    """
+    alive = candidates.alive
+    order = jnp.cumsum(alive.astype(jnp.int32)) - 1  # destination per lane
+    dest = jnp.where(alive & (order < k), order, k)  # k == out-of-bounds
+    total = jnp.sum(alive.astype(jnp.int32))
+    dropped = jnp.maximum(total - k, 0)
+
+    new = _empty_pool(k, candidates.o.dtype)
+    for f in ("o", "d", "face", "excl_prim", "excl_face", "slot", "c", "s", "alive"):
+        val = getattr(candidates, f)
+        new[f] = new[f].at[dest].set(val, mode="drop")
+    return Pool(**new), dropped
+
+
+class TraceResult(NamedTuple):
+    color: jnp.ndarray  # [N, 3]
+    casts: jnp.ndarray  # scalar: total rays cast (incl. shadows + marches)
+    dropped: jnp.ndarray  # scalar: rays lost to pool overflow (want 0)
+
+
+def trace_whitted(
+    scene: Scene,
+    textures,
+    ray_o,
+    ray_d,
+    cfg: RenderConfig,
+) -> TraceResult:
+    """Whitted-trace a primary ray batch; returns per-ray linear RGB.
+
+    Equivalent to calling World::ray_trace(depth=cfg.depth, contribution=1)
+    per pixel (src/main.rs:1096-1102), restructured as a level loop.
+    """
+    n = ray_o.shape[0]
+    k = n * cfg.capacity_factor
+    thr = cfg.threshold
+
+    img = jnp.zeros((n, 3), ray_o.dtype)
+    casts = jnp.zeros((), jnp.int32)
+    dropped = jnp.zeros((), jnp.int32)
+
+    pool = Pool(**_empty_pool(k, ray_o.dtype))
+    pool = dataclasses.replace(
+        pool,
+        o=pool.o.at[:n].set(ray_o),
+        d=pool.d.at[:n].set(ray_d),
+        slot=pool.slot.at[:n].set(jnp.arange(n, dtype=jnp.int32)),
+        c=pool.c.at[:n].set(1.0),
+        s=pool.s.at[:n].set(1.0),
+        alive=pool.alive.at[:n].set(True),
+    )
+
+    for level in range(cfg.depth + 1):
+        d_rem = cfg.depth - level  # state.depth at this level
+        last = level == cfg.depth
+
+        hits = cast(scene, pool.rays(), active=pool.alive)
+        casts = casts + jnp.sum(pool.alive)
+        live = pool.alive & hits.valid
+
+        mat = mat_ops.eval_material(scene, textures, hits.obj, hits.uv)
+        shade_c = (1.0 - mat.shiness) * (1.0 - mat.transparency)
+        refl_c = mat.shiness * (1.0 - mat.transparency)
+        refr_c = mat.transparency
+
+        # Direct shade: computed iff c*shade_c >= THRESHOLD (main.rs:482);
+        # weighted by shade_c normally, but returned unweighted at depth 0
+        # (main.rs:488-490) — the parent factor is already folded into s.
+        need_shade = live & (pool.c * shade_c >= thr)
+        shadow_counters: list = []
+        shade = get_shade(
+            scene, textures, hits.pos, hits.normal, hits.uv, hits.prim, hits.obj,
+            pool.d, need_shade, counters=shadow_counters,
+        )
+        for sc in shadow_counters:
+            casts = casts + sc
+        coef = pool.s if d_rem <= 0 else pool.s * shade_c
+        img = img.at[pool.slot].add(
+            jnp.where(need_shade[:, None], shade * coef[:, None], 0.0)
+        )
+
+        if last:
+            break
+
+        # --- reflect child (main.rs:493-500, get_reflect 328-341) ---
+        c_r = pool.c * refl_c
+        want_r = live & (c_r >= thr)
+        refl = vec.reflect(pool.d, hits.normal)
+        refl = refl / jnp.maximum(vec.norm(refl), 1e-30)[:, None]
+        # exclusion face = hit face inverted (341): FRONT hit -> BACK
+        excl_face_r = jnp.where(hits.backface, FACE_FRONT, FACE_BACK).astype(jnp.int32)
+        child_r = Pool(
+            o=hits.pos, d=refl, face=pool.face,
+            excl_prim=hits.prim, excl_face=excl_face_r,
+            slot=pool.slot, c=c_r, s=pool.s * refl_c, alive=want_r,
+        )
+
+        # --- refract child (main.rs:502-514) ---
+        c_f = pool.c * refr_c
+        want_f = live & (c_f > thr)  # strict > (504)
+        march = refract_march(
+            scene, hits.pos, hits.normal, pool.d, hits.prim, mat.refraction,
+            want_f, cfg,
+        )
+        casts = casts + march.casts
+        decay = jnp.power(mat.decay, march.travel)  # opaque_decay^travel (508)
+        child_f = Pool(
+            o=march.esc_o, d=march.esc_d,
+            face=jnp.full((k,), FACE_FRONT, jnp.int32),
+            excl_prim=march.esc_prim,
+            excl_face=jnp.full((k,), FACE_BACK, jnp.int32),
+            slot=pool.slot, c=c_f, s=pool.s * refr_c * decay,
+            alive=want_f & march.escaped,
+        )
+
+        candidates = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), child_r, child_f
+        )
+        pool, drop = _compact(candidates, k)
+        dropped = dropped + drop
+
+    return TraceResult(color=img, casts=casts, dropped=dropped)

@@ -308,6 +308,66 @@ class OracleWorld:
 
         return shade * shade_c + reflection * refl_c + refraction * refr_c
 
+    # --- distributed MC trace (main.rs:521-614) ---
+    def distributed_ray_trace(self, rng, depth, hit: OHit):
+        shade = self.get_shade(hit)
+        if depth <= 0:
+            return shade
+        m = self.approx_material(hit.obj, hit.uv)
+        w = [
+            (1.0 - m["shiness"]) * (1.0 - m["transparency"]),
+            m["shiness"] * (1.0 - m["transparency"]),
+            m["transparency"],
+        ]
+        r = rng.uniform(0.0, sum(w))
+        sel = 0 if r < w[0] else (1 if r < w[0] + w[1] else 2)
+
+        def scatter(direction, exponent):
+            phi = np.arccos((1.0 - rng.uniform(0.0, 1.0)) ** exponent)
+            theta = rng.uniform(-np.pi, np.pi)
+            sph = np.array([
+                np.sin(phi) * np.cos(theta),
+                np.sin(phi) * np.sin(theta),
+                np.cos(phi),
+            ])
+            return self.adjust_normal(sph, direction / np.linalg.norm(direction))
+
+        if sel in (0, 1):
+            if sel == 0:
+                sdir = scatter(-hit.normal, 1.0)
+            else:
+                sdir = scatter(hit.ray_d, m["smoothness"])
+            cosine = -np.dot(hit.normal, sdir)
+            if cosine <= 0.0:
+                return np.zeros(3)
+            scattered = dataclasses.replace(hit, ray_d=sdir)
+            ro, rd, rf, rep, ref_ = self.get_reflect(scattered)
+            nh = self.cast(ro, rd, rf, rep, ref_)
+            if nh is None:
+                return self.get_shade(scattered)
+            x = self.distributed_ray_trace(rng, depth - 1, nh)
+            if sel == 0:
+                brdf = get_diffuse(m, hit.normal, rd)
+            else:
+                brdf = get_specular(m, hit.normal, rd, -hit.ray_d)
+            s = x * brdf
+            return 0.5 * self.get_shade(nh) + 0.5 * s
+
+        sdir = scatter(hit.ray_d, m["smoothness"])
+        cosine = -np.dot(hit.normal, sdir)
+        if cosine <= 0.0:
+            return np.zeros(3)
+        scattered = dataclasses.replace(hit, ray_d=sdir)
+        out = self.get_refract(scattered, 100.0)
+        if out is None:
+            return np.zeros(3)
+        travel, epos, edir, eprim = out
+        nh = self.cast(epos, edir, FRONT, eprim, BACK)
+        if nh is None:
+            return np.zeros(3)
+        x = self.distributed_ray_trace(rng, depth - 1, nh)
+        return (x + self.get_shade(nh)) * (m["decay"] ** travel)
+
     def render_whitted(self, camera, width, height, depth=5):
         """Reference main() pass 1 on a tiny image (main.rs:1084-1111)."""
         fovy = float(camera.fovy)

@@ -1,0 +1,108 @@
+"""Monte-Carlo pass tests: determinism, filtering, and estimator parity
+(mean photon vs the recursive oracle's MC estimator) on a small scene."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytracer_tpu.config import RenderConfig
+from raytracer_tpu.ops.distributed import roulette, scatter_direction, trace_distributed
+from raytracer_tpu.scene.presets import demo_camera, spheres_scene, recursive_scene
+from raytracer_tpu.render import clip_coords
+from raytracer_tpu.ops import camera as camera_ops
+
+from tests.oracle import OracleWorld
+
+
+def _primaries(scene_fn, w, h):
+    scene, textures = scene_fn()
+    clips = jnp.asarray(clip_coords(w, h))
+    o, d = camera_ops.shoot(demo_camera(), clips)
+    return scene, textures, o, d
+
+
+def test_roulette_buckets():
+    u = jnp.asarray([0.05, 0.45, 0.95])
+    w0 = jnp.full((3,), 0.25)
+    w1 = jnp.full((3,), 0.25)
+    w2 = jnp.full((3,), 0.5)
+    np.testing.assert_array_equal(np.asarray(roulette(u, w0, w1, w2)), [0, 1, 2])
+
+
+def test_scatter_direction_distribution():
+    # exponent 1 around +z: cos(phi) = 1-u uniform in (0,1]; all dirs in the
+    # +z hemisphere with E[cos] = 0.5
+    key = jax.random.PRNGKey(0)
+    n = 20000
+    u = jax.random.uniform(key, (n,))
+    th = jax.random.uniform(jax.random.fold_in(key, 1), (n,),
+                            minval=-np.pi, maxval=np.pi)
+    axis = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (n, 1))
+    d = np.asarray(scatter_direction(u, th, axis, jnp.ones((n,))))
+    np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-4)
+    assert (d[:, 2] > -1e-6).all()
+    assert abs(d[:, 2].mean() - 0.5) < 0.01
+    assert abs(d[:, 0].mean()) < 0.01 and abs(d[:, 1].mean()) < 0.01
+
+
+def test_deterministic_same_key():
+    scene, textures, o, d = _primaries(spheres_scene, 8, 6)
+    cfg = RenderConfig(width=8, height=6, depth=3)
+    key = jax.random.PRNGKey(7)
+    r1 = trace_distributed(scene, textures, o, d, key, cfg)
+    r2 = trace_distributed(scene, textures, o, d, key, cfg)
+    np.testing.assert_array_equal(np.asarray(r1.photon), np.asarray(r2.photon))
+    r3 = trace_distributed(scene, textures, o, d, jax.random.PRNGKey(8), cfg)
+    assert np.abs(np.asarray(r1.photon) - np.asarray(r3.photon)).max() > 0
+
+
+def test_photon_filter_zeroes_nonnormal():
+    scene, textures, o, d = _primaries(spheres_scene, 8, 6)
+    cfg = RenderConfig(width=8, height=6, depth=2)
+    res = trace_distributed(scene, textures, o, d, jax.random.PRNGKey(1), cfg)
+    p = np.asarray(res.photon)
+    assert np.isfinite(p).all()
+    # every surviving photon is either exactly zero or all-channels normal
+    nonzero = p[(p != 0).any(axis=-1)]
+    assert (np.abs(nonzero) >= np.finfo(np.float32).tiny).all()
+
+
+@pytest.mark.slow
+def test_mc_estimator_mean_matches_oracle():
+    """Means of the two estimators agree within MC error on a tiny image."""
+    scene, textures = spheres_scene()
+    world = OracleWorld(scene, textures)
+    w, h, depth = 6, 4, 2
+    clips = jnp.asarray(clip_coords(w, h))
+    o, d = camera_ops.shoot(demo_camera(), clips)
+    cfg = RenderConfig(width=w, height=h, depth=depth)
+
+    trials_fw = 600
+    base = jax.random.PRNGKey(42)
+    jit_mc = jax.jit(lambda key: trace_distributed(scene, textures, o, d, key, cfg).photon)
+    acc = np.zeros((w * h, 3))
+    for e in range(trials_fw):
+        acc += np.asarray(jit_mc(jax.random.fold_in(base, e)))
+    mean_fw = acc / trials_fw
+
+    rng = np.random.default_rng(123)
+    trials_or = 400
+    on = np.asarray(o, np.float64)
+    dn = np.asarray(d, np.float64)
+    acc_o = np.zeros((w * h, 3))
+    for i in range(w * h):
+        hit = world.cast(on[i], dn[i])
+        if hit is None:
+            continue
+        tot = np.zeros(3)
+        for _ in range(trials_or):
+            ph = world.distributed_ray_trace(rng, depth, hit)
+            if np.all(np.isfinite(ph)) and np.all(np.abs(ph) >= np.finfo(np.float32).tiny):
+                tot += ph
+        acc_o[i] = tot / trials_or
+    # compare with generous MC tolerance: per-pixel sigma is O(1);
+    # 600/400 trials -> stderr ~ 0.05-0.1 per channel on this flat scene
+    diff = np.abs(mean_fw - acc_o)
+    assert np.median(diff) < 0.06, f"median diff {np.median(diff)}"
+    assert (diff < 0.5).mean() > 0.95, f"large-diff fraction {(diff >= 0.5).mean()}"

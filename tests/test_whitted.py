@@ -1,0 +1,53 @@
+"""End-to-end Whitted parity: wavefront tracer vs the recursive oracle."""
+
+import numpy as np
+import pytest
+
+from raytracer_tpu.config import RenderConfig
+from raytracer_tpu.render import render_whitted
+from raytracer_tpu.scene.presets import demo_camera, demo_scene, spheres_scene
+
+from tests.oracle import OracleWorld
+
+
+def _compare(img, ref, max_bad_frac=0.02, atol=4e-3, rtol=0.03):
+    img = np.asarray(img, np.float64)
+    diff = np.abs(img - ref)
+    bad = diff > (atol + rtol * np.abs(ref))
+    bad_px = bad.any(axis=-1)
+    frac = bad_px.mean()
+    assert frac <= max_bad_frac, (
+        f"{frac:.3%} pixels differ; worst {diff.max():.4f} at "
+        f"{np.unravel_index(diff.argmax(), diff.shape)}"
+    )
+
+
+def test_whitted_spheres_depth1_matches_oracle():
+    scene, textures = spheres_scene()
+    world = OracleWorld(scene, textures)
+    cfg = RenderConfig(width=24, height=18, depth=1, tile_rays=24 * 18)
+    img, stats = render_whitted(scene, textures, demo_camera(), cfg)
+    ref = world.render_whitted(demo_camera(), cfg.width, cfg.height, depth=1)
+    assert stats["dropped"] == 0
+    _compare(img, ref)
+
+
+def test_whitted_demo_depth3_matches_oracle():
+    scene, textures = demo_scene()
+    world = OracleWorld(scene, textures)
+    cfg = RenderConfig(width=20, height=15, depth=3, tile_rays=20 * 15)
+    img, stats = render_whitted(scene, textures, demo_camera(), cfg)
+    ref = world.render_whitted(demo_camera(), cfg.width, cfg.height, depth=3)
+    assert stats["dropped"] == 0
+    # glass TIR paths are touchy in f32; allow a slightly larger bad fraction
+    _compare(img, ref, max_bad_frac=0.04)
+
+
+def test_whitted_demo_depth5_runs_and_counts():
+    scene, textures = demo_scene()
+    cfg = RenderConfig(width=16, height=12, depth=5, tile_rays=16 * 12)
+    img, stats = render_whitted(scene, textures, demo_camera(), cfg)
+    assert np.isfinite(np.asarray(img)).all()
+    assert stats["dropped"] == 0
+    # at least one cast per primary ray, plus shadow/bounce amplification
+    assert stats["casts"] > stats["primary_rays"] * 2
