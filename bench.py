@@ -1,0 +1,101 @@
+"""Benchmark harness — the BASELINE.json north-star frame.
+
+Renders the full demo scene (reflection + refraction + DoF + photon
+scatter) at 1024x1024, bounce depth 5, on the available accelerator:
+one Whitted frame plus one stochastic epoch, exactly the work the
+reference does per progressive step at its own resolution
+(/root/reference/src/main.rs:1084-1173).
+
+Prints ONE JSON line:
+  {"metric": "mrays_per_sec", "value": ..., "unit": "Mrays/s",
+   "vs_baseline": value / 100.0}
+vs_baseline is against the 100 Mrays/s north-star target (the reference
+publishes no numbers, BASELINE.md); rays counted are actual rays cast
+(primary + shadow + bounce + interior-march), the honest throughput unit.
+Detail lines go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _enable_compile_cache() -> None:
+    import os
+
+    import jax
+
+    path = os.path.expanduser("~/.cache/raytracer_tpu_jax")
+    os.makedirs(path, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache is an optimization, never a requirement
+
+
+def main() -> int:
+    _enable_compile_cache()
+    import jax
+
+    from raytracer_tpu.config import RenderConfig
+    from raytracer_tpu.render import render_distributed_epoch, render_whitted
+    from raytracer_tpu.scene.presets import demo_camera, demo_scene
+
+    cfg = RenderConfig(width=1024, height=1024, depth=5, tile_rays=1 << 16)
+    scene, textures = demo_scene()
+    camera = demo_camera()
+    log(f"devices: {jax.devices()}")
+
+    # --- compile warmup (not timed) ---
+    t0 = time.time()
+    img, stats = render_whitted(scene, textures, camera, cfg)
+    img.block_until_ready()
+    log(f"whitted compile+first frame: {time.time() - t0:.1f}s, stats={stats}")
+    t0 = time.time()
+    key = jax.random.PRNGKey(0)
+    photons, mc_stats = render_distributed_epoch(scene, textures, camera, cfg, key)
+    photons.block_until_ready()
+    log(f"mc compile+first epoch: {time.time() - t0:.1f}s, stats={mc_stats}")
+
+    # --- timed: one full progressive step (whitted frame + one MC epoch) ---
+    reps = 3
+    best_dt, best_casts = float("inf"), 0
+    for r in range(reps):
+        t0 = time.time()
+        img, w_stats = render_whitted(scene, textures, camera, cfg)
+        img.block_until_ready()
+        photons, m_stats = render_distributed_epoch(
+            scene, textures, camera, cfg, jax.random.fold_in(key, r)
+        )
+        photons.block_until_ready()
+        dt = time.time() - t0
+        casts = w_stats["casts"] + m_stats["casts"]
+        log(f"rep {r}: {dt * 1e3:.0f} ms, {casts / 1e6:.1f} Mrays, "
+            f"{casts / dt / 1e6:.1f} Mrays/s")
+        if dt < best_dt:
+            best_dt, best_casts = dt, casts
+
+    mrays = best_casts / best_dt / 1e6
+    result = {
+        "metric": "mrays_per_sec",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / 100.0, 4),
+        "frame_seconds": round(best_dt, 4),
+        "rays_per_frame": int(best_casts),
+        "resolution": f"{cfg.width}x{cfg.height}",
+        "depth": cfg.depth,
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

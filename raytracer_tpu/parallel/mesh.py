@@ -1,0 +1,170 @@
+"""Multi-chip rendering over a device mesh.
+
+The reference's entire parallelism story is a rayon thread pool over pixels
+on one CPU (src/main.rs:1090, 1131; SURVEY.md §2 C23).  The TPU-native
+equivalent is a 2D jax.sharding.Mesh:
+
+  * ``dp`` — data parallel over pixel tiles: each device traces its own
+    slice of the frame (the shard_map analogue of rayon's par_iter).
+  * ``sp`` — sample parallel: every device in the ``sp`` axis renders an
+    independent stochastic sample of the SAME pixels with a decorrelated
+    RNG key, reduced with a single psum over ICI — so one "epoch step"
+    accumulates |sp| samples per pixel.  This is the only collective the
+    renderer needs (SURVEY.md §5.8).
+
+The scene/material/light tables are tiny and replicated; the frame is the
+thing that scales, so only the pixel axis is sharded.  Everything compiles
+and runs identically on N virtual CPU devices (tests) and real chips.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from raytracer_tpu.config import RenderConfig
+from raytracer_tpu.ops import camera as camera_ops
+from raytracer_tpu.ops.distributed import trace_distributed
+from raytracer_tpu.ops.tonemap import post_process
+from raytracer_tpu.ops.trace import trace_whitted
+from raytracer_tpu.render import clip_coords
+from raytracer_tpu.scene.types import Camera, Scene
+
+
+def make_render_mesh(
+    n_devices: Optional[int] = None, sp: Optional[int] = None
+) -> Mesh:
+    """Build a (dp, sp) mesh from the first n_devices devices.
+
+    ``sp`` defaults to 2 when the device count is even (sample-parallel
+    pairs), else 1; ``dp`` gets the rest.
+    """
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    devs = devs[:n]
+    if sp is None:
+        sp = 2 if n % 2 == 0 and n >= 2 else 1
+    dp = n // sp
+    assert dp * sp == n, f"{n} devices do not factor into dp={dp} x sp={sp}"
+    return Mesh(np.asarray(devs).reshape(dp, sp), ("dp", "sp"))
+
+
+def _pad_to(clips: np.ndarray, multiple: int) -> Tuple[np.ndarray, int]:
+    n = clips.shape[0]
+    pad = (-n) % multiple
+    if pad:
+        clips = np.concatenate([clips, np.zeros((pad, 2), clips.dtype)])
+    return clips, pad
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def _whitted_sharded(scene: Scene, camera: Camera, clips, textures,
+                     cfg: RenderConfig, mesh: Mesh):
+    def tile_fn(scene, camera, clips_local):
+        o, d = camera_ops.shoot(camera, clips_local)
+        res = trace_whitted(scene, textures, o, d, cfg)
+        casts = jax.lax.psum(res.casts, ("dp", "sp"))
+        dropped = jax.lax.psum(res.dropped, ("dp", "sp"))
+        return res.color, casts, dropped
+
+    return jax.shard_map(
+        tile_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P("dp")),
+        out_specs=(P("dp"), P(), P()),
+        check_vma=False,
+    )(scene, camera, clips)
+
+
+def render_whitted_sharded(
+    scene: Scene, textures, camera: Camera, cfg: RenderConfig, mesh: Mesh
+):
+    """Whitted frame sharded over the mesh's pixel axis.
+
+    The ``sp`` axis is redundant for the deterministic pass; every sp rank
+    renders the same slice (kept so one mesh serves both passes).
+    """
+    dp = mesh.shape["dp"]
+    clips, pad = _pad_to(clip_coords(cfg.width, cfg.height), dp)
+    color, casts, dropped = _whitted_sharded(
+        scene, camera, jnp.asarray(clips), textures, cfg, mesh
+    )
+    n = cfg.width * cfg.height
+    img = color[:n].reshape(cfg.height, cfg.width, 3)
+    return img, {
+        "casts": int(casts),
+        "dropped": int(dropped),
+        "primary_rays": n,
+    }
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6))
+def _mc_epoch_sharded(scene: Scene, camera: Camera, clips, key, textures,
+                      cfg: RenderConfig, mesh: Mesh):
+    def tile_fn(scene, camera, clips_local, key):
+        dp_idx = jax.lax.axis_index("dp")
+        sp_idx = jax.lax.axis_index("sp")
+        k = jax.random.fold_in(jax.random.fold_in(key, dp_idx), sp_idx)
+        k_lens, k_path = jax.random.split(k)
+        offsets = (
+            jax.random.normal(k_lens, (clips_local.shape[0], 2), clips_local.dtype)
+            * cfg.blur
+        )
+        o, d = camera_ops.shoot_focus(camera, clips_local, offsets, cfg.focus)
+        res = trace_distributed(scene, textures, o, d, k_path, cfg)
+        # Reduce the sample-parallel axis over ICI: |sp| photons per pixel.
+        photons = jax.lax.psum(res.photon, "sp")
+        casts = jax.lax.psum(res.casts, ("dp", "sp"))
+        filtered = jax.lax.psum(res.filtered, ("dp", "sp"))
+        return photons, casts, filtered
+
+    return jax.shard_map(
+        tile_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P("dp"), P()),
+        out_specs=(P("dp"), P(), P()),
+        check_vma=False,
+    )(scene, camera, clips, key)
+
+
+def render_mc_epoch_sharded(
+    scene: Scene, textures, camera: Camera, cfg: RenderConfig, mesh: Mesh, key
+):
+    """One sample-parallel stochastic epoch: |sp| samples per pixel."""
+    dp = mesh.shape["dp"]
+    clips, pad = _pad_to(clip_coords(cfg.width, cfg.height), dp)
+    photons, casts, filtered = _mc_epoch_sharded(
+        scene, camera, jnp.asarray(clips), key, textures, cfg, mesh
+    )
+    n = cfg.width * cfg.height
+    img = photons[:n].reshape(cfg.height, cfg.width, 3)
+    return img, {
+        "casts": int(casts),
+        "filtered": int(filtered),
+        "samples_per_pixel": mesh.shape["sp"],
+        "primary_rays": n * mesh.shape["sp"],
+    }
+
+
+@partial(jax.jit, static_argnums=(5, 6, 7), donate_argnums=(2,))
+def train_step_sharded(scene: Scene, camera: Camera, accum, clips, key,
+                       textures, cfg: RenderConfig, mesh: Mesh):
+    """The framework's full "training step": one sample-parallel MC epoch,
+    accumulated into the (donated) framebuffer and renormalized exactly like
+    the reference's per-epoch post_process (src/main.rs:1163-1172).
+
+    accum/clips are flat [H*W(+pad), ...] arrays sharded over ``dp``.
+    """
+    photons, casts, filtered = _mc_epoch_sharded.__wrapped__(
+        scene, camera, clips, key, textures, cfg, mesh
+    )
+    accum = accum + photons
+    # Global percentile renormalization across the sharded frame: jnp.sort
+    # under jit inserts the cross-device collectives automatically.
+    accum = post_process(accum, cfg.percentile)
+    return accum, casts, filtered

@@ -1,0 +1,78 @@
+"""Multi-chip logic on 8 virtual CPU devices (conftest forces them)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from raytracer_tpu.config import RenderConfig
+from raytracer_tpu.parallel.mesh import (
+    make_render_mesh,
+    render_mc_epoch_sharded,
+    render_whitted_sharded,
+    train_step_sharded,
+    _pad_to,
+)
+from raytracer_tpu.render import clip_coords, render_whitted
+from raytracer_tpu.scene.presets import demo_camera, spheres_scene
+
+
+def test_mesh_factoring():
+    mesh = make_render_mesh(8)
+    assert mesh.shape == {"dp": 4, "sp": 2}
+    mesh = make_render_mesh(8, sp=1)
+    assert mesh.shape == {"dp": 8, "sp": 1}
+    mesh1 = make_render_mesh(1)
+    assert mesh1.shape == {"dp": 1, "sp": 1}
+
+
+def test_whitted_sharded_matches_single_device():
+    assert len(jax.devices()) >= 8, "conftest should provide 8 cpu devices"
+    scene, textures = spheres_scene()
+    cfg = RenderConfig(width=16, height=8, depth=2, tile_rays=16 * 8)
+    mesh = make_render_mesh(8)
+    img_sharded, stats_s = render_whitted_sharded(
+        scene, textures, demo_camera(), cfg, mesh
+    )
+    img_single, stats_1 = render_whitted(scene, textures, demo_camera(), cfg)
+    np.testing.assert_allclose(
+        np.asarray(img_sharded), np.asarray(img_single), atol=1e-5, rtol=1e-4
+    )
+    assert stats_s["dropped"] == 0
+
+
+def test_mc_epoch_sharded_runs_and_is_deterministic():
+    scene, textures = spheres_scene()
+    cfg = RenderConfig(width=16, height=8, depth=2, tile_rays=16 * 8)
+    mesh = make_render_mesh(8)
+    key = jax.random.PRNGKey(3)
+    img1, stats = render_mc_epoch_sharded(scene, textures, demo_camera(), cfg, mesh, key)
+    img2, _ = render_mc_epoch_sharded(scene, textures, demo_camera(), cfg, mesh, key)
+    np.testing.assert_array_equal(np.asarray(img1), np.asarray(img2))
+    assert stats["samples_per_pixel"] == 2
+    assert np.isfinite(np.asarray(img1)).all()
+    # sp ranks use decorrelated keys: 2-sample sum should differ from 2x a
+    # single device sample (probabilistically certain on a lit scene)
+    assert np.asarray(img1).sum() > 0
+
+
+def test_train_step_sharded_full_epoch():
+    scene, textures = spheres_scene()
+    cfg = RenderConfig(width=16, height=8, depth=2, tile_rays=16 * 8)
+    mesh = make_render_mesh(8)
+    clips, pad = _pad_to(clip_coords(cfg.width, cfg.height), mesh.shape["dp"])
+    sharding = NamedSharding(mesh, P("dp"))
+    clips_d = jax.device_put(jnp.asarray(clips), sharding)
+    accum = jax.device_put(jnp.zeros((clips.shape[0], 3), jnp.float32), sharding)
+    key = jax.random.PRNGKey(0)
+    accum, casts, filtered = train_step_sharded(
+        scene, demo_camera(), accum, clips_d, key, textures, cfg, mesh
+    )
+    out = np.asarray(accum)
+    assert np.isfinite(out).all()
+    assert int(casts) > 0
+    # post_process ran: 99th-percentile luma is ~1
+    from raytracer_tpu.utils import color
+    luma = np.asarray(color.luma(jnp.asarray(out)))
+    valid = luma[np.abs(luma) >= np.finfo(np.float32).tiny]
+    assert abs(np.sort(valid)[int(len(valid) * 0.99)] - 1.0) < 1e-3
