@@ -94,32 +94,28 @@ def trace_distributed(
     h = cast(scene, rays)
     casts = casts + n
 
-    alive = h.valid
-    accum = jnp.zeros((n, 3), ray_o.dtype)
-    scale = jnp.ones((n, 3), ray_o.dtype)
+    state = dict(
+        alive=h.valid,
+        accum=jnp.zeros((n, 3), ray_o.dtype),
+        scale=jnp.ones((n, 3), ray_o.dtype),
+        cur_pos=h.pos, cur_normal=h.normal, cur_uv=h.uv,
+        cur_prim=h.prim, cur_obj=h.obj, cur_back=h.backface,
+        cur_ray_d=ray_d,
+        cur_ray_face=jnp.full((n,), FACE_FRONT, jnp.int32),
+        casts=casts,
+    )
 
-    # Current path vertex state
-    cur_pos, cur_normal, cur_uv = h.pos, h.normal, h.uv
-    cur_prim, cur_obj, cur_back = h.prim, h.obj, h.backface
-    cur_ray_d = ray_d
-    cur_ray_face = jnp.full((n,), FACE_FRONT, jnp.int32)
+    def step_body(step, s):
+        # One bounce of the roulette walk; a single traced body executed
+        # cfg.depth times keeps the XLA graph small.
+        alive, accum, scale = s["alive"], s["accum"], s["scale"]
+        cur_pos, cur_normal, cur_uv = s["cur_pos"], s["cur_normal"], s["cur_uv"]
+        cur_prim, cur_obj, cur_back = s["cur_prim"], s["cur_obj"], s["cur_back"]
+        cur_ray_d, cur_ray_face = s["cur_ray_d"], s["cur_ray_face"]
+        casts = s["casts"]
 
-    for step in range(cfg.depth + 1):
-        d_rem = cfg.depth - step
         kstep = jax.random.fold_in(key, step)
         k_sel, k_phi, k_theta = jax.random.split(kstep, 3)
-
-        if d_rem == 0:
-            # depth exhausted: return shade(self) (main.rs:524-527)
-            counters: list = []
-            shade = get_shade(
-                scene, textures, cur_pos, cur_normal, cur_uv, cur_prim, cur_obj,
-                cur_ray_d, alive, counters,
-            )
-            for c in counters:
-                casts = casts + c
-            accum = accum + jnp.where(alive[:, None], scale * shade, 0.0)
-            break
 
         mat = mat_ops.eval_material(scene, textures, cur_obj, cur_uv)
         w0 = (1.0 - mat.shiness) * (1.0 - mat.transparency)
@@ -221,11 +217,29 @@ def trace_distributed(
         accum = accum + jnp.where(contribute[:, None], scale * A, 0.0)
         scale = scale * jnp.where(adv_active[:, None], B, 0.0)
 
-        alive = adv_active & use_next
-        cur_pos, cur_normal, cur_uv = nxt.pos, nxt.normal, nxt.uv
-        cur_prim, cur_obj, cur_back = nxt.prim, nxt.obj, nxt.backface
-        cur_ray_d = adv_d
-        cur_ray_face = adv_face
+        return dict(
+            alive=adv_active & use_next,
+            accum=accum, scale=scale,
+            cur_pos=nxt.pos, cur_normal=nxt.normal, cur_uv=nxt.uv,
+            cur_prim=nxt.prim, cur_obj=nxt.obj, cur_back=nxt.backface,
+            cur_ray_d=adv_d, cur_ray_face=adv_face,
+            casts=casts,
+        )
+
+    state = jax.lax.fori_loop(0, cfg.depth, step_body, state)
+
+    # Depth exhausted: surviving paths terminate with shade(self)
+    # (main.rs:524-527).
+    alive, accum, scale = state["alive"], state["accum"], state["scale"]
+    counters: list = []
+    shade = get_shade(
+        scene, textures, state["cur_pos"], state["cur_normal"], state["cur_uv"],
+        state["cur_prim"], state["cur_obj"], state["cur_ray_d"], alive, counters,
+    )
+    casts = state["casts"]
+    for c in counters:
+        casts = casts + c
+    accum = accum + jnp.where(alive[:, None], scale * shade, 0.0)
 
     # f32::is_normal photon filter (main.rs:1157-1160)
     ok = jnp.all(vec.is_normal_f32(accum), axis=-1)

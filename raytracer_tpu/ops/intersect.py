@@ -6,6 +6,19 @@ batch is tested against the whole primitive table at once as masked [N, P]
 lane math, the per-ray dot products against all triangle planes are batched
 matmuls ([N,3] x [3,T] -> MXU), and the nearest hit is a masked reduction.
 
+Attribute reconstruction avoids TPU gathers: the winner is turned into a
+one-hot [N, P] mask and every per-primitive table lookup becomes a
+[N, P] x [P, k] matmul (exact — the one-hot has a single lane set).
+
+Three entry points by decreasing work:
+  * cast(..., attrs="full") — everything (normal, uv, obj);
+  * cast(..., attrs="geom") — pos/normal/prim only (the TIR interior march
+    needs no uv/material, src/main.rs:371-388);
+  * cast_any_hit(..., limit) — occlusion predicate for shadow rays: the
+    reference takes the nearest hit then accepts it only if nearer than the
+    light (src/main.rs:435-448), which is equivalent to "exists a valid hit
+    with t < limit" and needs no reduction tie-break at all.
+
 Semantic parity notes (all from src/main.rs):
   * face-direction culling (184-188, 273-281): FRONT rays only hit front
     faces of triangles and the near sphere shell; BACK rays only hit back
@@ -56,9 +69,102 @@ def _exclusion_mask(excl_prim, excl_face, prim_ids, backface):
     return same & crit
 
 
-def cast(scene: Scene, rays: Rays, active=None) -> Hits:
+def _tri_candidates(scene: Scene, rays: Rays, active):
+    """Masked candidate distances for all triangles.
+
+    Returns (t_masked [N,T] with inf at invalid lanes, backface [N,T],
+    areas (a0,a1,a2) each [N,T]) — areas are reused for barycentric
+    reconstruction of the winner.
+    """
+    T = scene.n_tri
+    face = rays.face[:, None]
+    fnT = scene.tri_fn.T  # [3, T]
+    no_d = rays.d @ fnT  # MXU
+    backface = no_d > 0.0
+    cull = (backface & (face == FACE_FRONT)) | ((~backface) & (face == FACE_BACK))
+    excl = _exclusion_mask(
+        rays.excl_prim, rays.excl_face, jnp.arange(T, dtype=jnp.int32), backface
+    )
+    o_fn = rays.o @ fnT  # MXU
+    t = (scene.tri_d[None, :] - o_fn) / no_d
+    # Signed-area inside test, affine in the hit point p = o + t d:
+    #   area_e = g_e.o + h_e + t * (g_e.d)   (three [N,3]x[3,T] matmuls)
+    areas = []
+    inside = True
+    for e in range(3):
+        GeT = scene.tri_g[:, e, :].T  # [3, T]
+        a = rays.o @ GeT + scene.tri_h[:, e][None, :] + t * (rays.d @ GeT)
+        areas.append(a)
+        inside = inside & (a >= 0.0)
+    valid = (
+        active[:, None] & ~cull & ~excl & (t > 0.0) & jnp.isfinite(t) & inside
+    )
+    return jnp.where(valid, t, _INF), backface, tuple(areas)
+
+
+def _sph_candidates(scene: Scene, rays: Rays, active):
+    """Masked candidate distances for all spheres: (t_masked, backface)."""
+    T, S = scene.n_tri, scene.n_sph
+    face = rays.face[:, None]
+    w = scene.sph_c[None, :, :] - rays.o[:, None, :]  # [N, S, 3]
+    d = rays.d[:, None, :]
+    cx = jnp.cross(w, d)
+    dist2 = jnp.sum(cx * cx, axis=-1)
+    r2 = scene.sph_r[None, :] ** 2
+    hit_shell = dist2 <= r2  # line_sphere_distance <= radius (265-268)
+    tc = jnp.sum(d * w, axis=-1)
+    k = jnp.sqrt(jnp.maximum(r2 - dist2, 0.0))
+    backface = jnp.where(
+        face == FACE_FRONT, False, jnp.where(face == FACE_BACK, True, tc < k)
+    )
+    t = jnp.where(backface, tc + k, tc - k)
+    prim_ids = T + jnp.arange(S, dtype=jnp.int32)
+    excl = _exclusion_mask(rays.excl_prim, rays.excl_face, prim_ids, backface)
+    valid = active[:, None] & hit_shell & (t > 0.0) & ~excl & jnp.isfinite(t)
+    return jnp.where(valid, t, _INF), backface
+
+
+def cast_any_hit(scene: Scene, rays: Rays, active=None, limit=None):
+    """Occlusion predicate: does any valid hit exist with t < limit?
+
+    Equivalent to the reference's shadow test (nearest hit accepted iff
+    nearer than the light origin, any hit for directional lights,
+    src/main.rs:435-448).  limit: [N] or None (any hit at all).
+    Returns bool [N].
+    """
+    n = rays.o.shape[0]
+    if active is None:
+        active = jnp.ones((n,), dtype=bool)
+    lim = _INF if limit is None else limit[:, None]
+    blocked = jnp.zeros((n,), bool)
+    if scene.n_tri > 0:
+        t, _, _ = _tri_candidates(scene, rays, active)
+        blocked = blocked | jnp.any(t < lim, axis=1)
+    if scene.n_sph > 0:
+        t, _ = _sph_candidates(scene, rays, active)
+        blocked = blocked | jnp.any(t < lim, axis=1)
+    return blocked
+
+
+def _empty_hits(n, dtype):
+    z3 = jnp.zeros((n, 3), dtype)
+    return Hits(
+        valid=jnp.zeros((n,), bool),
+        t=jnp.full((n,), _INF, dtype),
+        prim=jnp.full((n,), -1, jnp.int32),
+        obj=jnp.zeros((n,), jnp.int32),
+        pos=z3,
+        normal=z3,
+        uv=jnp.zeros((n, 2), dtype),
+        backface=jnp.zeros((n,), bool),
+    )
+
+
+def cast(scene: Scene, rays: Rays, active=None, attrs: str = "full") -> Hits:
     """Nearest-hit cast of a ray batch against the whole scene.
 
+    attrs="geom" skips uv/obj reconstruction (Hits.uv/obj are zeros) for
+    callers that only need geometry (the interior march).
     `active` masks out dead lanes (their result is valid=False).
     """
     n = rays.o.shape[0]
@@ -66,133 +172,85 @@ def cast(scene: Scene, rays: Rays, active=None) -> Hits:
     P = T + S
     if active is None:
         active = jnp.ones((n,), dtype=bool)
+    if P == 0:
+        return _empty_hits(n, rays.o.dtype)
 
-    face = rays.face[:, None]
     t_parts = []
     back_parts = []
-
+    tri_areas = None
     if T > 0:
-        fnT = scene.tri_fn.T  # [3, T]
-        no_d = rays.d @ fnT  # [N, T]  (MXU)
-        backface_t = no_d > 0.0
-        cull = (backface_t & (face == FACE_FRONT)) | (
-            (~backface_t) & (face == FACE_BACK)
-        )
-        excl = _exclusion_mask(
-            rays.excl_prim, rays.excl_face, jnp.arange(T, dtype=jnp.int32), backface_t
-        )
-        o_fn = rays.o @ fnT  # [N, T]  (MXU)
-        t = (scene.tri_d[None, :] - o_fn) / no_d  # [N, T]
-        # Signed-area inside test, affine in the hit point p = o + t d:
-        #   area_i = g_i.o + h_i + t * (g_i.d)
-        G = scene.tri_g.reshape(3 * T, 3)  # [3T, 3]
-        og = (rays.o @ G.T).reshape(n, T, 3)
-        dg = (rays.d @ G.T).reshape(n, T, 3)
-        area = og + scene.tri_h[None, :, :] + t[:, :, None] * dg
-        inside = ~jnp.any(area < 0.0, axis=-1)
-        valid_t = (
-            active[:, None]
-            & ~cull
-            & ~excl
-            & (t > 0.0)
-            & jnp.isfinite(t)
-            & inside
-        )
-        t_parts.append(jnp.where(valid_t, t, _INF))
-        back_parts.append(backface_t)
-
+        t_tri, back_tri, tri_areas = _tri_candidates(scene, rays, active)
+        t_parts.append(t_tri)
+        back_parts.append(back_tri)
     if S > 0:
-        w = scene.sph_c[None, :, :] - rays.o[:, None, :]  # [N, S, 3]
-        d = rays.d[:, None, :]
-        cx = jnp.cross(w, d)
-        dist2 = jnp.sum(cx * cx, axis=-1)
-        r2 = scene.sph_r[None, :] ** 2
-        hit_shell = dist2 <= r2  # line_sphere_distance <= radius (265-268)
-        tc = jnp.sum(d * w, axis=-1)
-        k = jnp.sqrt(jnp.maximum(r2 - dist2, 0.0))
-        backface_s = jnp.where(
-            face == FACE_FRONT,
-            False,
-            jnp.where(face == FACE_BACK, True, tc < k),
-        )
-        t_s = jnp.where(backface_s, tc + k, tc - k)
-        prim_ids = T + jnp.arange(S, dtype=jnp.int32)
-        excl = _exclusion_mask(rays.excl_prim, rays.excl_face, prim_ids, backface_s)
-        valid_s = (
-            active[:, None] & hit_shell & (t_s > 0.0) & ~excl & jnp.isfinite(t_s)
-        )
-        t_parts.append(jnp.where(valid_s, t_s, _INF))
-        back_parts.append(backface_s)
+        t_sph, back_sph = _sph_candidates(scene, rays, active)
+        t_parts.append(t_sph)
+        back_parts.append(back_sph)
 
-    if P == 0:
-        z3 = jnp.zeros((n, 3), rays.o.dtype)
-        return Hits(
-            valid=jnp.zeros((n,), bool),
-            t=jnp.full((n,), _INF, rays.o.dtype),
-            prim=jnp.full((n,), -1, jnp.int32),
-            obj=jnp.zeros((n,), jnp.int32),
-            pos=z3,
-            normal=z3,
-            uv=jnp.zeros((n, 2), rays.o.dtype),
-            backface=jnp.zeros((n,), bool),
-        )
-
-    t_all = jnp.concatenate(t_parts, axis=1)  # [N, P]
-    back_all = jnp.concatenate(back_parts, axis=1)
+    t_all = jnp.concatenate(t_parts, axis=1) if len(t_parts) > 1 else t_parts[0]
+    back_all = (
+        jnp.concatenate(back_parts, axis=1) if len(back_parts) > 1 else back_parts[0]
+    )
 
     t_min = jnp.min(t_all, axis=1)
     hit_any = jnp.isfinite(t_min)
     # Last index among the minima: reference updates nearest on t <= current
     # so later primitives win exact ties (src/main.rs:229-233, 298-302).
     ids = jnp.arange(P, dtype=jnp.int32)[None, :]
-    winner = jnp.where(t_all == t_min[:, None], ids, -1)
-    win_idx = jnp.max(winner, axis=1)
-    win_safe = jnp.maximum(win_idx, 0)
+    win_idx = jnp.max(jnp.where(t_all == t_min[:, None], ids, -1), axis=1)
+    # Exact one-hot of the winner: all table lookups become [N,P] matmuls
+    # (TPU gathers are slow; one-hot contractions ride the MXU).
+    onehot = (ids == win_idx[:, None]).astype(rays.o.dtype)  # [N, P]
 
     pos = rays.o + t_min[:, None] * rays.d
-    backface = jnp.take_along_axis(back_all, win_safe[:, None], axis=1)[:, 0]
+    backface = jnp.sum(onehot * back_all, axis=1) > 0.5
 
-    # --- reconstruct attributes of the winning primitive ---
     is_tri = win_idx < T if T > 0 else jnp.zeros((n,), bool)
-
     normal = jnp.zeros((n, 3), rays.o.dtype)
     uv = jnp.zeros((n, 2), rays.o.dtype)
 
     if T > 0:
-        ti = jnp.clip(win_safe, 0, T - 1)
-        g = scene.tri_g[ti]  # [N, 3, 3]
-        h = scene.tri_h[ti]  # [N, 3]
-        area = jnp.einsum("nij,nj->ni", g, pos) + h
-        bary = area / scene.tri_area2[ti][:, None]  # (235-236)
-        tn = scene.tri_n[ti]  # [N, 3, 3]
-        tuv = scene.tri_uv[ti]  # [N, 3, 2]
-        n_interp = jnp.einsum("ni,nij->nj", bary, tn)
+        oh_t = onehot[:, :T]
+        # Barycentrics from the SAME area values used in the inside test
+        # (the reference divides those areas by area2, main.rs:235-236).
+        area2 = oh_t @ scene.tri_area2  # [N]
+        bary = [jnp.sum(oh_t * tri_areas[e], axis=1) / area2 for e in range(3)]
+        n_interp = 0.0
+        uv_interp = 0.0
+        for e in range(3):
+            n_interp = n_interp + bary[e][:, None] * (oh_t @ scene.tri_n[:, e, :])
+            uv_interp = uv_interp + bary[e][:, None] * (oh_t @ scene.tri_uv[:, e, :])
         n_tri = jnp.where(backface[:, None], -n_interp, n_interp)
-        uv_tri = jnp.einsum("ni,nik->nk", bary, tuv)
         normal = jnp.where(is_tri[:, None], n_tri, normal)
-        uv = jnp.where(is_tri[:, None], uv_tri, uv)
+        if attrs == "full":
+            uv = jnp.where(is_tri[:, None], uv_interp, uv)
 
     if S > 0:
-        si = jnp.clip(win_safe - T, 0, S - 1)
-        c = scene.sph_c[si]
+        oh_s = onehot[:, T:]
+        c = oh_s @ scene.sph_c  # [N, 3]
         n_raw = pos - c
         n_unit = n_raw / jnp.sqrt(jnp.sum(n_raw * n_raw, axis=-1, keepdims=True))
         n_sph = jnp.where(backface[:, None], -n_unit, n_unit)
-        # Spherical uv from the flipped unit normal (310-313).
-        u = jnp.arccos(jnp.clip(n_sph[:, 1], -1.0, 1.0)) / jnp.pi
-        v = jnp.arctan2(n_sph[:, 2], n_sph[:, 0]) / (2.0 * jnp.pi) + 0.5
-        uv_sph = jnp.stack([u, v], axis=-1)
         normal = jnp.where(is_tri[:, None], normal, n_sph)
-        uv = jnp.where(is_tri[:, None], uv, uv_sph)
+        if attrs == "full":
+            # Spherical uv from the flipped unit normal (310-313).
+            u = jnp.arccos(jnp.clip(n_sph[:, 1], -1.0, 1.0)) / jnp.pi
+            v = jnp.arctan2(n_sph[:, 2], n_sph[:, 0]) / (2.0 * jnp.pi) + 0.5
+            uv_sph = jnp.stack([u, v], axis=-1)
+            uv = jnp.where(is_tri[:, None], uv, uv_sph)
 
-    obj = scene.prim_obj[win_safe]
     valid = active & hit_any
+    if attrs == "full":
+        obj_f = onehot @ scene.prim_obj.astype(rays.o.dtype)
+        obj = jnp.where(valid, jnp.round(obj_f).astype(jnp.int32), 0)
+    else:
+        obj = jnp.zeros((n,), jnp.int32)
 
     return Hits(
         valid=valid,
         t=t_min,
         prim=jnp.where(valid, win_idx, -1),
-        obj=jnp.where(valid, obj, 0),
+        obj=obj,
         pos=pos,
         normal=normal,
         uv=uv,

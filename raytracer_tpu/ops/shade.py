@@ -14,7 +14,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from raytracer_tpu.ops import materials as mat_ops
-from raytracer_tpu.ops.intersect import cast
+from raytracer_tpu.ops.intersect import cast_any_hit
 from raytracer_tpu.ops.lights import approximate_directional
 from raytracer_tpu.scene.types import FACE_BACK, Hits, Rays, Scene
 from raytracer_tpu.utils import vec
@@ -60,16 +60,16 @@ def get_shade(
             excl_prim=prim,
             excl_face=jnp.full((n,), FACE_BACK, jnp.int32),
         )
-        occ = cast(scene, shadow_rays, active=consider)
-        if counters is not None:
-            counters.append(jnp.sum(consider))
-
-        has_origin = lights.has_origin[li] > 0.5
-        occ_dist = vec.distance(pos, occ.pos)
-        light_dist = vec.distance(pos, lights.origin[li][None, :])
         # Occluder blocks unless it lies beyond the light origin;
         # directional lights are blocked by any occluder (main.rs:435-448).
-        blocked = occ.valid & jnp.where(has_origin, occ_dist < light_dist, True)
+        # "nearest hit nearer than the light" == "any hit nearer than the
+        # light", so the shadow test is a cheap any-hit predicate.
+        has_origin = lights.has_origin[li] > 0.5
+        light_dist = vec.distance(pos, lights.origin[li][None, :])
+        limit = jnp.where(has_origin, light_dist, jnp.inf)
+        blocked = cast_any_hit(scene, shadow_rays, active=consider, limit=limit)
+        if counters is not None:
+            counters.append(jnp.sum(consider))
 
         lit = consider & ~blocked
         light_to_point = -ldir  # probe.light_direction (main.rs:453)

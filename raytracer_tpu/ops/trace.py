@@ -110,7 +110,7 @@ def refract_march(
         excl_prim=prim,
         excl_face=jnp.full((n,), FACE_FRONT, jnp.int32),
     )
-    h = cast(scene, rays_in, active=active0)
+    h = cast(scene, rays_in, active=active0, attrs="geom")
     casts = jnp.sum(active0)
     alive = active0 & h.valid  # miss -> Infinite -> black
 
@@ -156,7 +156,7 @@ def refract_march(
             excl_prim=s["cur_prim"],
             excl_face=jnp.full((n,), FACE_FRONT, jnp.int32),
         )
-        h2 = cast(scene, rays, active=p)
+        h2 = cast(scene, rays, active=p, attrs="geom")
         step_alive = p & h2.valid  # interior miss -> Infinite -> dead
 
         travel2 = s["travel"] + jnp.where(
@@ -294,9 +294,12 @@ def trace_whitted(
         alive=pool.alive.at[:n].set(True),
     )
 
-    for level in range(cfg.depth + 1):
-        d_rem = cfg.depth - level  # state.depth at this level
-        last = level == cfg.depth
+    def level_body(i, state):
+        # One wavefront level == one recursion depth of ray_trace.  A single
+        # traced body (instead of depth+1 unrolled copies) keeps the XLA
+        # graph small; the depth-dependent differences are data (masks).
+        pool, img, casts, dropped = state
+        last = i >= cfg.depth  # state.depth <= 0 at this level
 
         hits = cast(scene, pool.rays(), active=pool.alive)
         casts = casts + jnp.sum(pool.alive)
@@ -318,17 +321,16 @@ def trace_whitted(
         )
         for sc in shadow_counters:
             casts = casts + sc
-        coef = pool.s if d_rem <= 0 else pool.s * shade_c
+        coef = jnp.where(last, pool.s, pool.s * shade_c)
         img = img.at[pool.slot].add(
             jnp.where(need_shade[:, None], shade * coef[:, None], 0.0)
         )
 
-        if last:
-            break
-
         # --- reflect child (main.rs:493-500, get_reflect 328-341) ---
+        # Children are mask-gated by ~last; at the final level the masks are
+        # all-false and the march while_loop exits immediately.
         c_r = pool.c * refl_c
-        want_r = live & (c_r >= thr)
+        want_r = live & (c_r >= thr) & ~last
         refl = vec.reflect(pool.d, hits.normal)
         refl = refl / jnp.maximum(vec.norm(refl), 1e-30)[:, None]
         # exclusion face = hit face inverted (341): FRONT hit -> BACK
@@ -341,7 +343,7 @@ def trace_whitted(
 
         # --- refract child (main.rs:502-514) ---
         c_f = pool.c * refr_c
-        want_f = live & (c_f > thr)  # strict > (504)
+        want_f = live & (c_f > thr) & ~last  # strict > (504)
         march = refract_march(
             scene, hits.pos, hits.normal, pool.d, hits.prim, mat.refraction,
             want_f, cfg,
@@ -362,5 +364,9 @@ def trace_whitted(
         )
         pool, drop = _compact(candidates, k)
         dropped = dropped + drop
+        return pool, img, casts, dropped
 
+    _, img, casts, dropped = jax.lax.fori_loop(
+        0, cfg.depth + 1, level_body, (pool, img, casts, dropped)
+    )
     return TraceResult(color=img, casts=casts, dropped=dropped)
