@@ -26,22 +26,10 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def _enable_compile_cache() -> None:
-    import os
-
-    import jax
-
-    path = os.path.expanduser("~/.cache/raytracer_tpu_jax")
-    os.makedirs(path, exist_ok=True)
-    try:
-        jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass  # cache is an optimization, never a requirement
-
-
 def main() -> int:
-    _enable_compile_cache()
+    from raytracer_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax
 
     from raytracer_tpu.config import RenderConfig

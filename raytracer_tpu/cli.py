@@ -38,24 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _enable_compile_cache() -> None:
-    """Persistent XLA compile cache: progressive/resume workflows restart
-    processes, and tunnel compiles cost minutes."""
-    import os
-
-    import jax
-
-    path = os.path.expanduser("~/.cache/raytracer_tpu_jax")
-    try:
-        os.makedirs(path, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-
-
 def main(argv=None) -> int:
-    _enable_compile_cache()
+    from raytracer_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     args = build_parser().parse_args(argv)
     cfg = RenderConfig(
         width=args.width,

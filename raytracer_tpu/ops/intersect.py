@@ -40,6 +40,9 @@ Semantic parity notes (all from src/main.rs):
 
 from __future__ import annotations
 
+import os
+
+import jax
 import jax.numpy as jnp
 
 from raytracer_tpu.scene.types import (
@@ -51,6 +54,27 @@ from raytracer_tpu.scene.types import (
 )
 
 _INF = jnp.inf
+
+# Pallas dispatch: "auto" (kernel on TPU backends, jnp elsewhere),
+# "1" force-compiled, "interpret" force interpreter (CPU testing), "0" off.
+_PALLAS_MODE = os.environ.get("RAYTPU_PALLAS", "auto")
+
+
+def set_pallas_mode(mode: str) -> None:
+    global _PALLAS_MODE
+    assert mode in ("auto", "0", "1", "interpret")
+    _PALLAS_MODE = mode
+
+
+def _pallas_choice():
+    """None (use jnp) or interpret-flag for the Pallas kernels."""
+    if _PALLAS_MODE == "0":
+        return None
+    if _PALLAS_MODE == "1":
+        return False
+    if _PALLAS_MODE == "interpret":
+        return True
+    return False if jax.default_backend() == "tpu" else None
 
 
 def _exclusion_mask(excl_prim, excl_face, prim_ids, backface):
@@ -135,6 +159,15 @@ def cast_any_hit(scene: Scene, rays: Rays, active=None, limit=None):
     n = rays.o.shape[0]
     if active is None:
         active = jnp.ones((n,), dtype=bool)
+
+    interp = _pallas_choice()
+    if interp is not None and scene.n_prim > 0:
+        from raytracer_tpu.ops import intersect_pallas
+
+        return intersect_pallas.any_hit(
+            scene, rays, active=active, limit=limit, interpret=interp
+        )
+
     lim = _INF if limit is None else limit[:, None]
     blocked = jnp.zeros((n,), bool)
     if scene.n_tri > 0:
@@ -175,35 +208,50 @@ def cast(scene: Scene, rays: Rays, active=None, attrs: str = "full") -> Hits:
     if P == 0:
         return _empty_hits(n, rays.o.dtype)
 
-    t_parts = []
-    back_parts = []
-    tri_areas = None
-    if T > 0:
-        t_tri, back_tri, tri_areas = _tri_candidates(scene, rays, active)
-        t_parts.append(t_tri)
-        back_parts.append(back_tri)
-    if S > 0:
-        t_sph, back_sph = _sph_candidates(scene, rays, active)
-        t_parts.append(t_sph)
-        back_parts.append(back_sph)
+    interp = _pallas_choice()
+    if interp is not None:
+        from raytracer_tpu.ops import intersect_pallas
 
-    t_all = jnp.concatenate(t_parts, axis=1) if len(t_parts) > 1 else t_parts[0]
-    back_all = (
-        jnp.concatenate(back_parts, axis=1) if len(back_parts) > 1 else back_parts[0]
-    )
+        t_min, win_idx, backface, valid_hit = intersect_pallas.nearest_hit(
+            scene, rays, active=active, interpret=interp
+        )
+        hit_any = valid_hit
+        win_idx = jnp.where(valid_hit, win_idx, 0)
+    else:
+        t_parts = []
+        back_parts = []
+        if T > 0:
+            t_tri, back_tri, _ = _tri_candidates(scene, rays, active)
+            t_parts.append(t_tri)
+            back_parts.append(back_tri)
+        if S > 0:
+            t_sph, back_sph = _sph_candidates(scene, rays, active)
+            t_parts.append(t_sph)
+            back_parts.append(back_sph)
 
-    t_min = jnp.min(t_all, axis=1)
-    hit_any = jnp.isfinite(t_min)
-    # Last index among the minima: reference updates nearest on t <= current
-    # so later primitives win exact ties (src/main.rs:229-233, 298-302).
-    ids = jnp.arange(P, dtype=jnp.int32)[None, :]
-    win_idx = jnp.max(jnp.where(t_all == t_min[:, None], ids, -1), axis=1)
+        t_all = jnp.concatenate(t_parts, axis=1) if len(t_parts) > 1 else t_parts[0]
+        back_all = (
+            jnp.concatenate(back_parts, axis=1)
+            if len(back_parts) > 1
+            else back_parts[0]
+        )
+
+        t_min = jnp.min(t_all, axis=1)
+        hit_any = jnp.isfinite(t_min)
+        # Last index among the minima: reference updates nearest on t <= the
+        # current best so later primitives win exact ties
+        # (src/main.rs:229-233, 298-302).
+        ids = jnp.arange(P, dtype=jnp.int32)[None, :]
+        win_idx = jnp.max(jnp.where(t_all == t_min[:, None], ids, -1), axis=1)
+        onehot_b = ids == jnp.maximum(win_idx, 0)[:, None]
+        backface = jnp.sum(jnp.where(onehot_b, back_all, False), axis=1) > 0
+
     # Exact one-hot of the winner: all table lookups become [N,P] matmuls
     # (TPU gathers are slow; one-hot contractions ride the MXU).
+    ids = jnp.arange(P, dtype=jnp.int32)[None, :]
     onehot = (ids == win_idx[:, None]).astype(rays.o.dtype)  # [N, P]
 
     pos = rays.o + t_min[:, None] * rays.d
-    backface = jnp.sum(onehot * back_all, axis=1) > 0.5
 
     is_tri = win_idx < T if T > 0 else jnp.zeros((n,), bool)
     normal = jnp.zeros((n, 3), rays.o.dtype)
@@ -211,15 +259,18 @@ def cast(scene: Scene, rays: Rays, active=None, attrs: str = "full") -> Hits:
 
     if T > 0:
         oh_t = onehot[:, :T]
-        # Barycentrics from the SAME area values used in the inside test
-        # (the reference divides those areas by area2, main.rs:235-236).
+        # Barycentric areas recomputed at the winner from the hit point:
+        # area_e = g_e . p + h_e (same affine form the reference divides by
+        # area2, main.rs:235-236).
         area2 = oh_t @ scene.tri_area2  # [N]
-        bary = [jnp.sum(oh_t * tri_areas[e], axis=1) / area2 for e in range(3)]
         n_interp = 0.0
         uv_interp = 0.0
         for e in range(3):
-            n_interp = n_interp + bary[e][:, None] * (oh_t @ scene.tri_n[:, e, :])
-            uv_interp = uv_interp + bary[e][:, None] * (oh_t @ scene.tri_uv[:, e, :])
+            g_e = oh_t @ scene.tri_g[:, e, :]  # [N, 3]
+            h_e = oh_t @ scene.tri_h[:, e]  # [N]
+            bary_e = (jnp.sum(g_e * pos, axis=1) + h_e) / area2
+            n_interp = n_interp + bary_e[:, None] * (oh_t @ scene.tri_n[:, e, :])
+            uv_interp = uv_interp + bary_e[:, None] * (oh_t @ scene.tri_uv[:, e, :])
         n_tri = jnp.where(backface[:, None], -n_interp, n_interp)
         normal = jnp.where(is_tri[:, None], n_tri, normal)
         if attrs == "full":

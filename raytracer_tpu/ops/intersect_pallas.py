@@ -1,0 +1,301 @@
+"""Pallas TPU kernels for the nearest-hit / any-hit sweeps.
+
+The hot op of the renderer (SURVEY.md §3.3): every bounce tests every live
+ray against every primitive.  The jnp path (ops/intersect.py) leaves XLA to
+fuse ~10 [N, T] intermediates through HBM; these kernels keep the whole
+(primitive-table x ray-tile) sweep resident in VMEM and emit only per-ray
+winners.
+
+Layout matters on TPU: rays live on the LANE dimension (128-wide) and
+primitives on sublanes, so ray inputs are shipped as [3/4, N] rows (dense
+lanes) and the primitive tables as [T, 16] / [S, 8] constants — never a
+[N, 3] array whose 3-lane rows would be padded 43x to 128 lanes.
+
+Semantics are bit-for-bit the jnp path's (same face culling, exclusion,
+inside test, last-wins tie-break — see ops/intersect.py for the reference
+citations); tests compare the two lane-by-lane in interpret mode.
+Attribute reconstruction stays in jnp (one-hot contractions are winner-
+sized, not sweep-sized).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytracer_tpu.scene.types import FACE_BACK, FACE_FRONT, Rays, Scene
+
+# Rays per grid program (lane dimension; multiple of 128).
+TILE_R = 2048
+
+_BIG = 3.0e38  # stand-in for +inf (avoids inf-inf NaN traps)
+
+
+def pack_tri(scene: Scene) -> jnp.ndarray:
+    """[T, 16] triangle table: cols fn(3), d(1), g0(3), g1(3), g2(3), h(3)."""
+    return jnp.concatenate(
+        [
+            scene.tri_fn,  # 0:3
+            scene.tri_d[:, None],  # 3
+            scene.tri_g[:, 0, :],  # 4:7
+            scene.tri_g[:, 1, :],  # 7:10
+            scene.tri_g[:, 2, :],  # 10:13
+            scene.tri_h,  # 13:16
+        ],
+        axis=1,
+    ).astype(jnp.float32)
+
+
+def pack_sph(scene: Scene) -> jnp.ndarray:
+    """[S, 8] sphere table: cols cx, cy, cz, r^2 (+4 pad)."""
+    S = scene.n_sph
+    return jnp.concatenate(
+        [scene.sph_c, (scene.sph_r**2)[:, None], jnp.zeros((S, 4), jnp.float32)],
+        axis=1,
+    ).astype(jnp.float32)
+
+
+def _excl_crit(excl_face, backface):
+    """Exclusion side criterion (src/main.rs:192-196) as pure boolean
+    algebra (no bool-valued selects — Mosaic rejects i1 truncating
+    selects): FRONT matches front faces, BACK back faces, BOTH either."""
+    is_front = excl_face == FACE_FRONT
+    is_back = excl_face == FACE_BACK
+    return (is_front & ~backface) | (is_back & backface) | (~is_front & ~is_back)
+
+
+def _tri_sweep(o, d, face, excl_prim, excl_face, active, tri):
+    """Triangle candidates, [T, R] layout.
+
+    o/d: ([1,R],)*3 component rows; face/excl/active: [1, R];
+    tri: [T, 16].  Returns (tm [T,R] with _BIG at invalid, backface [T,R]).
+    """
+    ox, oy, oz = o
+    dx, dy, dz = d
+    fn0, fn1, fn2 = tri[:, 0:1], tri[:, 1:2], tri[:, 2:3]  # [T, 1]
+    dpl = tri[:, 3:4]
+    no_d = fn0 * dx + fn1 * dy + fn2 * dz  # [T, R]
+    o_fn = fn0 * ox + fn1 * oy + fn2 * oz
+    backface = no_d > 0.0
+    cull = (backface & (face == FACE_FRONT)) | ((~backface) & (face == FACE_BACK))
+    t = (dpl - o_fn) / no_d
+    ok = t > 0.0
+    for e in range(3):
+        g0 = tri[:, 4 + 3 * e : 5 + 3 * e]
+        g1 = tri[:, 5 + 3 * e : 6 + 3 * e]
+        g2 = tri[:, 6 + 3 * e : 7 + 3 * e]
+        h = tri[:, 13 + e : 14 + e]
+        og = g0 * ox + g1 * oy + g2 * oz
+        dg = g0 * dx + g1 * dy + g2 * dz
+        ok = ok & (og + h + t * dg >= 0.0)
+    prim = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+    excl = (excl_prim == prim) & _excl_crit(excl_face, backface)
+    valid = active & ~cull & ~excl & jnp.isfinite(t) & ok
+    return jnp.where(valid, t, _BIG), backface
+
+
+def _sph_sweep(o, d, face, excl_prim, excl_face, active, sph, n_tri):
+    """Sphere candidates, [S, R] layout: returns (tm, backface)."""
+    ox, oy, oz = o
+    dx, dy, dz = d
+    cx, cy, cz, r2 = sph[:, 0:1], sph[:, 1:2], sph[:, 2:3], sph[:, 3:4]
+    wx = cx - ox
+    wy = cy - oy
+    wz = cz - oz
+    px = wy * dz - wz * dy
+    py = wz * dx - wx * dz
+    pz = wx * dy - wy * dx
+    dist2 = px * px + py * py + pz * pz
+    tc = dx * wx + dy * wy + dz * wz
+    k = jnp.sqrt(jnp.maximum(r2 - dist2, 0.0))
+    is_back = face == FACE_BACK
+    is_front = face == FACE_FRONT
+    backface = is_back | (~is_front & ~is_back & (tc < k))
+    t = jnp.where(backface, tc + k, tc - k)
+    prim = n_tri + jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+    excl = (excl_prim == prim) & _excl_crit(excl_face, backface)
+    valid = active & (dist2 <= r2) & (t > 0.0) & ~excl & jnp.isfinite(t)
+    return jnp.where(valid, t, _BIG), backface
+
+
+def _unpack(o_ref, d_ref, meta_ref):
+    o = (o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :])
+    d = (d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :])
+    face = meta_ref[0:1, :]
+    excl_prim = meta_ref[1:2, :]
+    excl_face = meta_ref[2:3, :]
+    active = meta_ref[3:4, :] != 0
+    return o, d, face, excl_prim, excl_face, active
+
+
+def _winner(tm, backface, base):
+    """Nearest + last-wins tie-break over the sublane (primitive) axis."""
+    sub = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 0)
+    t_min = jnp.min(tm, axis=0, keepdims=True)  # [1, R]
+    win = jnp.max(jnp.where(tm == t_min, sub, -1), axis=0, keepdims=True)
+    bf = jnp.sum(
+        jnp.where((sub == win) & backface, 1, 0), axis=0, keepdims=True
+    )
+    return t_min, base + win, bf
+
+
+def _kernel(o_ref, d_ref, meta_ref, tri_ref, sph_ref, t_ref, idx_ref, bf_ref,
+            *, n_tri: int, n_sph: int):
+    """One ray tile vs the whole primitive table.
+
+    meta_ref: [4, R] i32 = (face, excl_prim, excl_face, active).
+    Outputs: t [1,R] f32 (_BIG on miss), idx [1,R] i32 (-1 on miss),
+    bf [1,R] i32.
+    """
+    o, d, face, excl_prim, excl_face, active = _unpack(o_ref, d_ref, meta_ref)
+
+    shape = (1, o[0].shape[1])
+    best_t = jnp.full(shape, _BIG, jnp.float32)
+    best_idx = jnp.full(shape, -1, jnp.int32)
+    best_bf = jnp.zeros(shape, jnp.int32)
+
+    if n_tri > 0:
+        tm, backface = _tri_sweep(o, d, face, excl_prim, excl_face, active,
+                                  tri_ref[:, :])
+        t_min, win, bf = _winner(tm, backface, 0)
+        found = t_min < _BIG
+        best_t = jnp.where(found, t_min, best_t)
+        best_idx = jnp.where(found, win, best_idx)
+        best_bf = jnp.where(found, bf, best_bf)
+
+    if n_sph > 0:
+        tm, backface = _sph_sweep(o, d, face, excl_prim, excl_face, active,
+                                  sph_ref[:, :], n_tri)
+        t_min, win, bf = _winner(tm, backface, n_tri)
+        # Sphere wins ties against triangles (spheres scan later,
+        # update-on-<=, src/main.rs:298-302).
+        found = (t_min < _BIG) & (t_min <= best_t)
+        best_t = jnp.where(found, t_min, best_t)
+        best_idx = jnp.where(found, win, best_idx)
+        best_bf = jnp.where(found, bf, best_bf)
+
+    t_ref[:, :] = best_t
+    idx_ref[:, :] = best_idx
+    bf_ref[:, :] = best_bf
+
+
+def _any_kernel(o_ref, d_ref, meta_ref, limit_ref, tri_ref, sph_ref, out_ref,
+                *, n_tri: int, n_sph: int):
+    """Occlusion predicate tile: out = any(t_candidate < limit)."""
+    o, d, face, excl_prim, excl_face, active = _unpack(o_ref, d_ref, meta_ref)
+    limit = limit_ref[0:1, :]
+
+    blocked = jnp.zeros((1, o[0].shape[1]), jnp.int32)
+    if n_tri > 0:
+        tm, _ = _tri_sweep(o, d, face, excl_prim, excl_face, active, tri_ref[:, :])
+        blocked = blocked | jnp.any(tm < limit, axis=0, keepdims=True).astype(
+            jnp.int32
+        )
+    if n_sph > 0:
+        tm, _ = _sph_sweep(o, d, face, excl_prim, excl_face, active,
+                           sph_ref[:, :], n_tri)
+        blocked = blocked | jnp.any(tm < limit, axis=0, keepdims=True).astype(
+            jnp.int32
+        )
+    out_ref[:, :] = blocked
+
+
+def _pad_lanes(x, n_pad):
+    if n_pad == 0:
+        return x
+    return jnp.pad(x, [(0, 0), (0, n_pad)])
+
+
+def _prep(scene: Scene, rays: Rays, active, n):
+    if active is None:
+        active = jnp.ones((n,), bool)
+    tile = min(TILE_R, max(128, -(-n // 128) * 128))
+    n_pad = (-n) % tile
+    o_t = _pad_lanes(rays.o.T, n_pad)  # [3, N']
+    d_t = _pad_lanes(rays.d.T, n_pad)
+    meta = _pad_lanes(
+        jnp.stack(
+            [rays.face, rays.excl_prim, rays.excl_face, active.astype(jnp.int32)],
+            axis=0,
+        ),
+        n_pad,
+    )  # padded lanes have active=0
+    tri = pack_tri(scene) if scene.n_tri > 0 else jnp.zeros((8, 16), jnp.float32)
+    sph = pack_sph(scene) if scene.n_sph > 0 else jnp.zeros((8, 8), jnp.float32)
+    return o_t, d_t, meta, tri, sph, active, tile, (n + n_pad) // tile
+
+
+def _ray_specs(tile, tri_shape, sph_shape):
+    return [
+        pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec(tri_shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(sph_shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def nearest_hit(scene: Scene, rays: Rays, active=None, interpret: bool = False):
+    """Winner sweep via Pallas: returns (t [N], idx [N], backface [N], valid [N]).
+
+    t is +inf on miss (converted from the kernel's finite sentinel).
+    """
+    n = rays.o.shape[0]
+    o_t, d_t, meta, tri, sph, active, tile, grid = _prep(scene, rays, active, n)
+    npad = o_t.shape[1]
+
+    kernel = functools.partial(_kernel, n_tri=scene.n_tri, n_sph=scene.n_sph)
+    specs = _ray_specs(tile, tri.shape, sph.shape)
+    out_spec = pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    t, idx, bf = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=specs,
+        out_specs=[out_spec] * 3,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, npad), jnp.float32),
+            jax.ShapeDtypeStruct((1, npad), jnp.int32),
+            jax.ShapeDtypeStruct((1, npad), jnp.int32),
+        ],
+        interpret=interpret,
+    )(o_t, d_t, meta, tri, sph)
+
+    t = t[0, :n]
+    idx = idx[0, :n]
+    valid = active & (t < _BIG)
+    t = jnp.where(valid, t, jnp.inf)
+    return t, idx, bf[0, :n] != 0, valid
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def any_hit(scene: Scene, rays: Rays, active=None, limit=None,
+            interpret: bool = False):
+    """Occlusion sweep via Pallas: any valid candidate with t < limit.
+
+    limit: [N] or None (any hit at all).  Returns bool [N].
+    """
+    n = rays.o.shape[0]
+    if limit is None:
+        limit = jnp.full((n,), _BIG, jnp.float32)
+    else:
+        limit = jnp.minimum(limit, _BIG)
+    o_t, d_t, meta, tri, sph, active, tile, grid = _prep(scene, rays, active, n)
+    lim = _pad_lanes(limit[None, :], o_t.shape[1] - n)
+
+    kernel = functools.partial(_any_kernel, n_tri=scene.n_tri, n_sph=scene.n_sph)
+    specs = _ray_specs(tile, tri.shape, sph.shape)
+    specs.insert(3, pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM))
+    blocked = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, o_t.shape[1]), jnp.int32),
+        interpret=interpret,
+    )(o_t, d_t, meta, lim, tri, sph)
+    return blocked[0, :n] != 0

@@ -59,20 +59,21 @@ def render_whitted(
     tile = min(cfg.tile_rays, n)
 
     out = []
-    casts = 0
-    dropped = 0
+    stats = []
+    # Enqueue every tile before syncing — a host sync per tile would
+    # serialize dispatch round-trips.
     for start in range(0, n, tile):
         chunk = clips[start : start + tile]
         pad = tile - chunk.shape[0]
         if pad:
             chunk = np.concatenate([chunk, np.zeros((pad, 2), np.float32)])
         res = _whitted_tile(scene, camera, jnp.asarray(chunk), textures, cfg)
-        color = res.color[: tile - pad] if pad else res.color
-        out.append(color)
-        casts += int(res.casts)
-        dropped += int(res.dropped)
+        out.append(res.color[: tile - pad] if pad else res.color)
+        stats.append((res.casts, res.dropped))
 
     img = jnp.concatenate(out, axis=0).reshape(cfg.height, cfg.width, 3)
+    casts = sum(int(c) for c, _ in stats)
+    dropped = sum(int(d) for _, d in stats)
     return img, {"casts": casts, "dropped": dropped, "primary_rays": n}
 
 
@@ -90,8 +91,7 @@ def render_distributed_epoch(
     tile = min(cfg.tile_rays, n)
 
     out = []
-    casts = 0
-    filtered = 0
+    stats = []
     for ti, start in enumerate(range(0, n, tile)):
         chunk = clips[start : start + tile]
         pad = tile - chunk.shape[0]
@@ -99,10 +99,10 @@ def render_distributed_epoch(
             chunk = np.concatenate([chunk, np.zeros((pad, 2), np.float32)])
         tkey = jax.random.fold_in(key, ti)
         res = _mc_tile(scene, camera, jnp.asarray(chunk), tkey, textures, cfg)
-        photon = res.photon[: tile - pad] if pad else res.photon
-        out.append(photon)
-        casts += int(res.casts)
-        filtered += int(res.filtered)
+        out.append(res.photon[: tile - pad] if pad else res.photon)
+        stats.append((res.casts, res.filtered))
 
     img = jnp.concatenate(out, axis=0).reshape(cfg.height, cfg.width, 3)
+    casts = sum(int(c) for c, _ in stats)
+    filtered = sum(int(f) for _, f in stats)
     return img, {"casts": casts, "filtered": filtered, "primary_rays": n}
