@@ -38,13 +38,16 @@ def dodecahedron_vertices() -> np.ndarray:
 def dodecahedron_faces() -> List[List[int]]:
     """12 pentagons as vertex-index rings, wound outward (CCW from outside)."""
     v = dodecahedron_vertices().astype(np.float64)
-    # Face centers point along icosahedron vertex directions.
+    # Face centers point along icosahedron vertex directions; for THIS
+    # dodecahedron orientation the matching chirality is (0, ±phi, ±1)
+    # cyclic (the other one, (0, ±1, ±phi), bisects edges instead — the
+    # five face vertices then do not share their dot product with u).
     dirs = []
     for s1 in (-1, 1):
         for s2 in (-1, 1):
-            dirs.append((0.0, s1, s2 * PHI))
-            dirs.append((s1, s2 * PHI, 0.0))
-            dirs.append((s1 * PHI, 0.0, s2))
+            dirs.append((0.0, s1 * PHI, s2))
+            dirs.append((s1 * PHI, s2, 0.0))
+            dirs.append((s1, 0.0, s2 * PHI))
     faces = []
     for u in np.asarray(dirs, dtype=np.float64):
         u = u / np.linalg.norm(u)
