@@ -160,6 +160,11 @@ def cast_any_hit(scene: Scene, rays: Rays, active=None, limit=None):
     if active is None:
         active = jnp.ones((n,), dtype=bool)
 
+    if scene.bvh_node_min is not None:
+        hit = _cast_bvh(scene, rays, active, attrs="geom")
+        lim = jnp.inf if limit is None else limit
+        return hit.valid & (hit.t < lim)
+
     interp = _pallas_choice()
     if interp is not None and scene.n_prim > 0:
         from raytracer_tpu.ops import intersect_pallas
@@ -193,6 +198,74 @@ def _empty_hits(n, dtype):
     )
 
 
+def _cast_bvh(scene: Scene, rays: Rays, active, attrs: str) -> Hits:
+    """Large-scene path: BVH for triangles, dense sweep for spheres,
+    gather-based winner reconstruction (one-hot does not scale to big T)."""
+    from raytracer_tpu.ops.intersect_bvh import tri_nearest_bvh
+
+    n = rays.o.shape[0]
+    T, S = scene.n_tri, scene.n_sph
+
+    t_tri, i_tri, bf_tri = tri_nearest_bvh(scene, rays, active)
+
+    t_sph = jnp.full((n,), _INF)
+    i_sph = jnp.zeros((n,), jnp.int32)
+    bf_sph = jnp.zeros((n,), bool)
+    if S > 0:
+        tm, back = _sph_candidates(scene, rays, active)
+        t_sph = jnp.min(tm, axis=1)
+        ids = jnp.arange(S, dtype=jnp.int32)[None, :]
+        i_sph = jnp.max(jnp.where(tm == t_sph[:, None], ids, -1), axis=1)
+        bf_sph = (
+            jnp.sum(jnp.where(ids == i_sph[:, None], back, False), axis=1) > 0
+        )
+
+    # Sphere wins exact ties (scanned after triangles, update-on-<=,
+    # src/main.rs:298-302).
+    use_sph = (t_sph <= t_tri) & jnp.isfinite(t_sph)
+    t_min = jnp.where(use_sph, t_sph, t_tri)
+    valid = active & jnp.isfinite(t_min)
+    backface = jnp.where(use_sph, bf_sph, bf_tri)
+    win_global = jnp.where(use_sph, T + i_sph, i_tri)
+
+    pos = rays.o + jnp.where(valid, t_min, 0.0)[:, None] * rays.d
+
+    ti = jnp.clip(jnp.where(use_sph, 0, i_tri), 0, max(T - 1, 0))
+    g = scene.tri_g[ti]  # [N, 3, 3]
+    h = scene.tri_h[ti]
+    area = jnp.einsum("nej,nj->ne", g, pos) + h
+    bary = area / scene.tri_area2[ti][:, None]
+    n_tri_i = jnp.einsum("ne,nej->nj", bary, scene.tri_n[ti])
+    n_tri_i = jnp.where(backface[:, None], -n_tri_i, n_tri_i)
+    uv_tri = jnp.einsum("ne,nek->nk", bary, scene.tri_uv[ti])
+
+    normal = n_tri_i
+    uv = uv_tri
+    if S > 0:
+        c = scene.sph_c[jnp.clip(i_sph, 0, S - 1)]
+        n_raw = pos - c
+        n_unit = n_raw / jnp.sqrt(
+            jnp.maximum(jnp.sum(n_raw * n_raw, axis=-1, keepdims=True), 1e-30)
+        )
+        n_sph = jnp.where(backface[:, None], -n_unit, n_unit)
+        u = jnp.arccos(jnp.clip(n_sph[:, 1], -1.0, 1.0)) / jnp.pi
+        v = jnp.arctan2(n_sph[:, 2], n_sph[:, 0]) / (2.0 * jnp.pi) + 0.5
+        normal = jnp.where(use_sph[:, None], n_sph, normal)
+        uv = jnp.where(use_sph[:, None], jnp.stack([u, v], -1), uv)
+
+    obj = jnp.where(valid, scene.prim_obj[jnp.clip(win_global, 0, T + S - 1)], 0)
+    return Hits(
+        valid=valid,
+        t=jnp.where(valid, t_min, _INF),
+        prim=jnp.where(valid, win_global, -1),
+        obj=obj if attrs == "full" else jnp.zeros((n,), jnp.int32),
+        pos=pos,
+        normal=normal,
+        uv=uv if attrs == "full" else jnp.zeros((n, 2), rays.o.dtype),
+        backface=backface & valid,
+    )
+
+
 def cast(scene: Scene, rays: Rays, active=None, attrs: str = "full") -> Hits:
     """Nearest-hit cast of a ray batch against the whole scene.
 
@@ -207,6 +280,9 @@ def cast(scene: Scene, rays: Rays, active=None, attrs: str = "full") -> Hits:
         active = jnp.ones((n,), dtype=bool)
     if P == 0:
         return _empty_hits(n, rays.o.dtype)
+
+    if scene.bvh_node_min is not None:
+        return _cast_bvh(scene, rays, active, attrs)
 
     interp = _pallas_choice()
     if interp is not None:

@@ -160,7 +160,13 @@ class SceneBuilder:
             )
         )
 
-    def build(self) -> Scene:
+    def build(self, use_bvh: bool | str = "auto") -> Scene:
+        """Flatten to the device Scene.
+
+        use_bvh: True / False / "auto" (BVH only past the triangle count
+        where the dense sweep stops winning on TPU — small scenes like the
+        reference's 64 triangles stay brute-force, SURVEY.md §7.6).
+        """
         f32 = np.float32
         T = len(self._triangles)
         S = len(self._spheres)
@@ -220,8 +226,24 @@ class SceneBuilder:
         lights = self._lights
         lf = lambda key: np.asarray([l[key] for l in lights], f32).reshape(L, -1)
 
+        bvh_fields: dict = {}
+        want_bvh = use_bvh is True or (use_bvh == "auto" and T >= 512)
+        if want_bvh and T > 0:
+            from raytracer_tpu.scene.bvh import build_bvh
+
+            bvh = build_bvh(tri_v)
+            bvh_fields = dict(
+                bvh_node_min=jnp.asarray(bvh.node_min),
+                bvh_node_max=jnp.asarray(bvh.node_max),
+                bvh_node_right=jnp.asarray(bvh.node_right),
+                bvh_node_count=jnp.asarray(bvh.node_count),
+                bvh_prim_order=jnp.asarray(bvh.prim_order),
+                bvh_depth=bvh.depth,
+            )
+
         j = jnp.asarray
         return Scene(
+            **bvh_fields,
             tri_v=j(tri_v), tri_n=j(tri_n), tri_uv=j(tri_uv), tri_obj=j(tri_obj),
             tri_fn=j(fn.astype(f32)), tri_d=j(tri_d.astype(f32)),
             tri_g=j(tri_g.astype(f32)), tri_h=j(tri_h.astype(f32)),

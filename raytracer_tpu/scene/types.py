@@ -88,6 +88,16 @@ class Scene:
     # float array so the pytree stays homogeneous.
     light_has_origin: jnp.ndarray  # [L]
 
+    # Optional triangle BVH (scene/bvh.py; None for small scenes where the
+    # dense sweep wins).  bvh_depth is static metadata (traversal stack
+    # bound), not a traced leaf.
+    bvh_node_min: jnp.ndarray | None = None  # [M, 3]
+    bvh_node_max: jnp.ndarray | None = None  # [M, 3]
+    bvh_node_right: jnp.ndarray | None = None  # [M]
+    bvh_node_count: jnp.ndarray | None = None  # [M]
+    bvh_prim_order: jnp.ndarray | None = None  # [T]
+    bvh_depth: int = 0
+
     @property
     def n_tri(self) -> int:
         return self.tri_v.shape[0]
@@ -116,7 +126,10 @@ class Scene:
 
 Scene = _register(
     Scene,
-    data_fields=[f.name for f in dataclasses.fields(Scene)],
+    data_fields=[
+        f.name for f in dataclasses.fields(Scene) if f.name != "bvh_depth"
+    ],
+    meta_fields=["bvh_depth"],
 )
 
 
