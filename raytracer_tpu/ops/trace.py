@@ -296,6 +296,84 @@ class TraceResult(NamedTuple):
     dropped: jnp.ndarray  # scalar: rays lost to pool overflow (want 0)
 
 
+def _process_level(scene, textures, cfg, pool: Pool, img, casts, last,
+                   identity_slots: bool):
+    """One wavefront level == one recursion depth of ray_trace.
+
+    Returns (candidate children [2*width], img, casts).  `last` may be a
+    traced bool (inside fori_loop) or a python bool; children are
+    mask-gated by ~last so the final level just stops emitting.
+    `identity_slots` marks the primary level, where pool.slot == arange —
+    the framebuffer add is then a plain masked add, not a scatter.
+    """
+    thr = cfg.threshold
+    width = pool.o.shape[0]
+    last = jnp.asarray(last, bool)  # python bool's ~ is integer bitwise-not
+
+    hits = cast(scene, pool.rays(), active=pool.alive)
+    casts = casts + jnp.sum(pool.alive)
+    live = pool.alive & hits.valid
+
+    mat = mat_ops.eval_material(scene, textures, hits.obj, hits.uv)
+    shade_c = (1.0 - mat.shiness) * (1.0 - mat.transparency)
+    refl_c = mat.shiness * (1.0 - mat.transparency)
+    refr_c = mat.transparency
+
+    # Direct shade: computed iff c*shade_c >= THRESHOLD (main.rs:482);
+    # weighted by shade_c normally, but returned unweighted at depth 0
+    # (main.rs:488-490) — the parent factor is already folded into s.
+    need_shade = live & (pool.c * shade_c >= thr)
+    shadow_counters: list = []
+    shade = get_shade(
+        scene, textures, hits.pos, hits.normal, hits.uv, hits.prim, hits.obj,
+        pool.d, need_shade, counters=shadow_counters,
+    )
+    for sc in shadow_counters:
+        casts = casts + sc
+    coef = jnp.where(last, pool.s, pool.s * shade_c)
+    contrib = jnp.where(need_shade[:, None], shade * coef[:, None], 0.0)
+    if identity_slots:
+        img = img + contrib
+    else:
+        img = img.at[pool.slot].add(contrib)
+
+    # --- reflect child (main.rs:493-500, get_reflect 328-341) ---
+    c_r = pool.c * refl_c
+    want_r = live & (c_r >= thr) & ~last
+    refl = vec.reflect(pool.d, hits.normal)
+    refl = refl / jnp.maximum(vec.norm(refl), 1e-30)[:, None]
+    # exclusion face = hit face inverted (341): FRONT hit -> BACK
+    excl_face_r = jnp.where(hits.backface, FACE_FRONT, FACE_BACK).astype(jnp.int32)
+    child_r = Pool(
+        o=hits.pos, d=refl, face=pool.face,
+        excl_prim=hits.prim, excl_face=excl_face_r,
+        slot=pool.slot, c=c_r, s=pool.s * refl_c, alive=want_r,
+    )
+
+    # --- refract child (main.rs:502-514) ---
+    c_f = pool.c * refr_c
+    want_f = live & (c_f > thr) & ~last  # strict > (504)
+    march = refract_march(
+        scene, hits.pos, hits.normal, pool.d, hits.prim, mat.refraction,
+        want_f, cfg,
+    )
+    casts = casts + march.casts
+    decay = jnp.power(mat.decay, march.travel)  # opaque_decay^travel (508)
+    child_f = Pool(
+        o=march.esc_o, d=march.esc_d,
+        face=jnp.full((width,), FACE_FRONT, jnp.int32),
+        excl_prim=march.esc_prim,
+        excl_face=jnp.full((width,), FACE_BACK, jnp.int32),
+        slot=pool.slot, c=c_f, s=pool.s * refr_c * decay,
+        alive=want_f & march.escaped,
+    )
+
+    candidates = jax.tree.map(
+        lambda a, b: jnp.concatenate([a, b], axis=0), child_r, child_f
+    )
+    return candidates, img, casts
+
+
 def trace_whitted(
     scene: Scene,
     textures,
@@ -306,100 +384,58 @@ def trace_whitted(
     """Whitted-trace a primary ray batch; returns per-ray linear RGB.
 
     Equivalent to calling World::ray_trace(depth=cfg.depth, contribution=1)
-    per pixel (src/main.rs:1096-1102), restructured as a level loop.
+    per pixel (src/main.rs:1096-1102), restructured as a level loop:
+    the primary level runs at exact primary width with a scatter-free
+    framebuffer add; bounce levels run at pool width K = capacity_factor*N
+    with compaction at level ENTRY, so the final level's dead children are
+    never scattered.
     """
     n = ray_o.shape[0]
-    k = n * cfg.capacity_factor
-    thr = cfg.threshold
+    k = max(128, -(-int(n * cfg.capacity_factor) // 128) * 128)
 
     img = jnp.zeros((n, 3), ray_o.dtype)
     casts = jnp.zeros((), jnp.int32)
     dropped = jnp.zeros((), jnp.int32)
 
-    pool = Pool(**_empty_pool(k, ray_o.dtype))
-    pool = dataclasses.replace(
-        pool,
-        o=pool.o.at[:n].set(ray_o),
-        d=pool.d.at[:n].set(ray_d),
-        slot=pool.slot.at[:n].set(jnp.arange(n, dtype=jnp.int32)),
-        c=pool.c.at[:n].set(1.0),
-        s=pool.s.at[:n].set(1.0),
-        alive=pool.alive.at[:n].set(True),
+    primaries = Pool(
+        o=ray_o,
+        d=ray_d,
+        face=jnp.zeros((n,), jnp.int32),
+        excl_prim=jnp.full((n,), NO_EXCLUDE, jnp.int32),
+        excl_face=jnp.zeros((n,), jnp.int32),
+        slot=jnp.arange(n, dtype=jnp.int32),
+        c=jnp.ones((n,), ray_o.dtype),
+        s=jnp.ones((n,), ray_o.dtype),
+        alive=jnp.ones((n,), bool),
     )
+    cands, img, casts = _process_level(
+        scene, textures, cfg, primaries, img, casts, last=(cfg.depth == 0),
+        identity_slots=True,
+    )
+    if cfg.depth == 0:
+        return TraceResult(color=img, casts=casts, dropped=dropped)
+
+    # Pad level-0 candidates (width 2n) to the loop's carry width 2k.
+    pad = 2 * k - 2 * n
+    if pad > 0:
+        dead = Pool(**_empty_pool(pad, ray_o.dtype))
+        cands = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), cands, dead
+        )
+    elif pad < 0:
+        raise ValueError("capacity_factor must be >= 1")
 
     def level_body(i, state):
-        # One wavefront level == one recursion depth of ray_trace.  A single
-        # traced body (instead of depth+1 unrolled copies) keeps the XLA
-        # graph small; the depth-dependent differences are data (masks).
-        pool, img, casts, dropped = state
-        last = i >= cfg.depth  # state.depth <= 0 at this level
-
-        hits = cast(scene, pool.rays(), active=pool.alive)
-        casts = casts + jnp.sum(pool.alive)
-        live = pool.alive & hits.valid
-
-        mat = mat_ops.eval_material(scene, textures, hits.obj, hits.uv)
-        shade_c = (1.0 - mat.shiness) * (1.0 - mat.transparency)
-        refl_c = mat.shiness * (1.0 - mat.transparency)
-        refr_c = mat.transparency
-
-        # Direct shade: computed iff c*shade_c >= THRESHOLD (main.rs:482);
-        # weighted by shade_c normally, but returned unweighted at depth 0
-        # (main.rs:488-490) — the parent factor is already folded into s.
-        need_shade = live & (pool.c * shade_c >= thr)
-        shadow_counters: list = []
-        shade = get_shade(
-            scene, textures, hits.pos, hits.normal, hits.uv, hits.prim, hits.obj,
-            pool.d, need_shade, counters=shadow_counters,
-        )
-        for sc in shadow_counters:
-            casts = casts + sc
-        coef = jnp.where(last, pool.s, pool.s * shade_c)
-        img = img.at[pool.slot].add(
-            jnp.where(need_shade[:, None], shade * coef[:, None], 0.0)
-        )
-
-        # --- reflect child (main.rs:493-500, get_reflect 328-341) ---
-        # Children are mask-gated by ~last; at the final level the masks are
-        # all-false and the march while_loop exits immediately.
-        c_r = pool.c * refl_c
-        want_r = live & (c_r >= thr) & ~last
-        refl = vec.reflect(pool.d, hits.normal)
-        refl = refl / jnp.maximum(vec.norm(refl), 1e-30)[:, None]
-        # exclusion face = hit face inverted (341): FRONT hit -> BACK
-        excl_face_r = jnp.where(hits.backface, FACE_FRONT, FACE_BACK).astype(jnp.int32)
-        child_r = Pool(
-            o=hits.pos, d=refl, face=pool.face,
-            excl_prim=hits.prim, excl_face=excl_face_r,
-            slot=pool.slot, c=c_r, s=pool.s * refl_c, alive=want_r,
-        )
-
-        # --- refract child (main.rs:502-514) ---
-        c_f = pool.c * refr_c
-        want_f = live & (c_f > thr) & ~last  # strict > (504)
-        march = refract_march(
-            scene, hits.pos, hits.normal, pool.d, hits.prim, mat.refraction,
-            want_f, cfg,
-        )
-        casts = casts + march.casts
-        decay = jnp.power(mat.decay, march.travel)  # opaque_decay^travel (508)
-        child_f = Pool(
-            o=march.esc_o, d=march.esc_d,
-            face=jnp.full((k,), FACE_FRONT, jnp.int32),
-            excl_prim=march.esc_prim,
-            excl_face=jnp.full((k,), FACE_BACK, jnp.int32),
-            slot=pool.slot, c=c_f, s=pool.s * refr_c * decay,
-            alive=want_f & march.escaped,
-        )
-
-        candidates = jax.tree.map(
-            lambda a, b: jnp.concatenate([a, b], axis=0), child_r, child_f
-        )
-        pool, drop = _compact(candidates, k)
+        cands, img, casts, dropped = state
+        pool, drop = _compact(cands, k)
         dropped = dropped + drop
-        return pool, img, casts, dropped
+        last = i >= cfg.depth
+        cands, img, casts = _process_level(
+            scene, textures, cfg, pool, img, casts, last, identity_slots=False
+        )
+        return cands, img, casts, dropped
 
     _, img, casts, dropped = jax.lax.fori_loop(
-        0, cfg.depth + 1, level_body, (pool, img, casts, dropped)
+        1, cfg.depth + 1, level_body, (cands, img, casts, dropped)
     )
     return TraceResult(color=img, casts=casts, dropped=dropped)
