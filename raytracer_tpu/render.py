@@ -50,31 +50,72 @@ def _mc_tile(scene: Scene, camera: Camera, clip, key, textures, cfg: RenderConfi
     return trace_distributed(scene, textures, o, d, k_path, cfg)
 
 
+@partial(jax.jit, static_argnums=(3, 4))
+def _whitted_frame(scene: Scene, camera: Camera, clips_tiled, textures,
+                   cfg: RenderConfig):
+    """Whole frame in ONE dispatch: sequential lax.map over ray tiles.
+
+    Per-tile dispatch round-trips dominate otherwise (tens of ms each
+    through a remote-attached chip); the scan keeps one tile's wavefront
+    buffers live at a time.
+    """
+    def tile(clip):
+        o, d = camera_ops.shoot(camera, clip)
+        res = trace_whitted(scene, textures, o, d, cfg)
+        return res.color, res.casts, res.dropped
+
+    colors, casts, dropped = jax.lax.map(tile, clips_tiled)
+    return colors, jnp.sum(casts), jnp.sum(dropped)
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def _mc_frame(scene: Scene, camera: Camera, clips_tiled, key, textures,
+              cfg: RenderConfig):
+    """One stochastic epoch for the whole frame in ONE dispatch."""
+    n_tiles = clips_tiled.shape[0]
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+        jnp.arange(n_tiles, dtype=jnp.int32)
+    )
+
+    def tile(args):
+        clip, tkey = args
+        k_lens, k_path = jax.random.split(tkey)
+        offsets = (
+            jax.random.normal(k_lens, (clip.shape[0], 2), clip.dtype) * cfg.blur
+        )
+        o, d = camera_ops.shoot_focus(camera, clip, offsets, cfg.focus)
+        res = trace_distributed(scene, textures, o, d, k_path, cfg)
+        return res.photon, res.casts, res.filtered
+
+    photons, casts, filtered = jax.lax.map(tile, (clips_tiled, keys))
+    return photons, jnp.sum(casts), jnp.sum(filtered)
+
+
+def _tiled_clips(cfg: RenderConfig):
+    """[n_tiles, tile, 2] clip grid, padded with dead rays at the tail."""
+    clips = clip_coords(cfg.width, cfg.height)
+    n = clips.shape[0]
+    tile = min(cfg.tile_rays, n)
+    pad = (-n) % tile
+    if pad:
+        clips = np.concatenate([clips, np.zeros((pad, 2), np.float32)])
+    return jnp.asarray(clips.reshape(-1, tile, 2)), pad
+
+
 def render_whitted(
     scene: Scene, textures, camera: Camera, cfg: RenderConfig
 ) -> Tuple[jnp.ndarray, dict]:
     """Whitted pass over the full frame.  Returns ([H, W, 3], stats)."""
-    clips = clip_coords(cfg.width, cfg.height)
-    n = clips.shape[0]
-    tile = min(cfg.tile_rays, n)
-
-    out = []
-    stats = []
-    # Enqueue every tile before syncing — a host sync per tile would
-    # serialize dispatch round-trips.
-    for start in range(0, n, tile):
-        chunk = clips[start : start + tile]
-        pad = tile - chunk.shape[0]
-        if pad:
-            chunk = np.concatenate([chunk, np.zeros((pad, 2), np.float32)])
-        res = _whitted_tile(scene, camera, jnp.asarray(chunk), textures, cfg)
-        out.append(res.color[: tile - pad] if pad else res.color)
-        stats.append((res.casts, res.dropped))
-
-    img = jnp.concatenate(out, axis=0).reshape(cfg.height, cfg.width, 3)
-    casts = sum(int(c) for c, _ in stats)
-    dropped = sum(int(d) for _, d in stats)
-    return img, {"casts": casts, "dropped": dropped, "primary_rays": n}
+    n = cfg.width * cfg.height
+    clips_tiled, pad = _tiled_clips(cfg)
+    colors, casts, dropped = _whitted_frame(scene, camera, clips_tiled,
+                                            textures, cfg)
+    img = colors.reshape(-1, 3)[:n].reshape(cfg.height, cfg.width, 3)
+    return img, {
+        "casts": int(casts),
+        "dropped": int(dropped),
+        "primary_rays": n,
+    }
 
 
 def render_distributed_epoch(
@@ -86,23 +127,15 @@ def render_distributed_epoch(
     plus stats).  Accumulation/tone-normalization is the caller's job
     (parallel/progressive.py), matching the reference's epoch loop.
     """
-    clips = clip_coords(cfg.width, cfg.height)
-    n = clips.shape[0]
-    tile = min(cfg.tile_rays, n)
-
-    out = []
-    stats = []
-    for ti, start in enumerate(range(0, n, tile)):
-        chunk = clips[start : start + tile]
-        pad = tile - chunk.shape[0]
-        if pad:
-            chunk = np.concatenate([chunk, np.zeros((pad, 2), np.float32)])
-        tkey = jax.random.fold_in(key, ti)
-        res = _mc_tile(scene, camera, jnp.asarray(chunk), tkey, textures, cfg)
-        out.append(res.photon[: tile - pad] if pad else res.photon)
-        stats.append((res.casts, res.filtered))
-
-    img = jnp.concatenate(out, axis=0).reshape(cfg.height, cfg.width, 3)
-    casts = sum(int(c) for c, _ in stats)
-    filtered = sum(int(f) for _, f in stats)
-    return img, {"casts": casts, "filtered": filtered, "primary_rays": n}
+    n = cfg.width * cfg.height
+    clips_tiled, pad = _tiled_clips(cfg)
+    photons, casts, filtered = _mc_frame(scene, camera, clips_tiled, key,
+                                         textures, cfg)
+    img = photons.reshape(-1, 3)[:n].reshape(cfg.height, cfg.width, 3)
+    # when the pixel count is not tile-aligned, stats include the padding
+    # rays (their photons are discarded above)
+    return img, {
+        "casts": int(casts),
+        "filtered": int(filtered),
+        "primary_rays": n,
+    }
