@@ -53,7 +53,7 @@ def main() -> int:
     log(f"mc compile+first epoch: {time.time() - t0:.1f}s, stats={mc_stats}")
 
     # --- timed: one full progressive step (whitted frame + one MC epoch) ---
-    reps = 3
+    reps = 5
     best_dt, best_casts = float("inf"), 0
     for r in range(reps):
         t0 = time.time()

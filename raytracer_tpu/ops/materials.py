@@ -52,22 +52,45 @@ def eval_material(scene: Scene, textures, obj, uv) -> MatSample:
 
     `textures` is the static texture tuple (scene/textures.py); texture id 0
     keeps the table's constant diffuse/normal.
+
+    The material table is tiny (O objects), so all lookups ride ONE one-hot
+    [N, O] x [O, 13] contraction — TPU row gathers cost ~0.2 ms per field
+    per 128k batch, the fused matmul is noise.
     """
-    diffuse = scene.mat_diffuse[obj]
-    normal = scene.mat_normal[obj]
-    tex_id = scene.mat_tex[obj]
+    n_obj = scene.n_obj
+    table = jnp.concatenate(
+        [
+            scene.mat_diffuse,  # 0:3
+            scene.mat_shiness[:, None],  # 3
+            scene.mat_specular,  # 4:7
+            scene.mat_smoothness[:, None],  # 7
+            scene.mat_transparency[:, None],  # 8
+            scene.mat_refraction[:, None],  # 9
+            scene.mat_decay[:, None],  # 10
+            scene.mat_normal,  # 11:14
+        ],
+        axis=1,
+    )  # [O, 14]
+    onehot = (
+        obj[:, None] == jnp.arange(n_obj, dtype=jnp.int32)[None, :]
+    ).astype(table.dtype)
+    m = onehot @ table  # [N, 14]
+
+    diffuse = m[:, 0:3]
+    normal = m[:, 11:14]
+    tex_id = onehot @ scene.mat_tex.astype(table.dtype)  # exact small ints
     for k in range(1, len(textures)):
         sel = (tex_id == k)[:, None]
         diffuse = jnp.where(sel, textures[k].diffuse(uv), diffuse)
         normal = jnp.where(sel, textures[k].normal(uv), normal)
     return MatSample(
         diffuse=diffuse,
-        shiness=scene.mat_shiness[obj],
-        specular=scene.mat_specular[obj],
-        smoothness=scene.mat_smoothness[obj],
-        transparency=scene.mat_transparency[obj],
-        refraction=scene.mat_refraction[obj],
-        decay=scene.mat_decay[obj],
+        shiness=m[:, 3],
+        specular=m[:, 4:7],
+        smoothness=m[:, 7],
+        transparency=m[:, 8],
+        refraction=m[:, 9],
+        decay=m[:, 10],
         normal=normal,
     )
 

@@ -297,14 +297,15 @@ class TraceResult(NamedTuple):
 
 
 def _process_level(scene, textures, cfg, pool: Pool, img, casts, last,
-                   identity_slots: bool):
+                   identity_slots: bool | str):
     """One wavefront level == one recursion depth of ray_trace.
 
     Returns (candidate children [2*width], img, casts).  `last` may be a
     traced bool (inside fori_loop) or a python bool; children are
     mask-gated by ~last so the final level just stops emitting.
-    `identity_slots` marks the primary level, where pool.slot == arange —
-    the framebuffer add is then a plain masked add, not a scatter.
+    `identity_slots`: True for the primary level (pool.slot == arange(n) —
+    plain add), "doubled" for level 1 (slots are arange(n) twice — two
+    plain adds), False for general levels (scatter-add).
     """
     thr = cfg.threshold
     width = pool.o.shape[0]
@@ -332,7 +333,10 @@ def _process_level(scene, textures, cfg, pool: Pool, img, casts, last,
         casts = casts + sc
     coef = jnp.where(last, pool.s, pool.s * shade_c)
     contrib = jnp.where(need_shade[:, None], shade * coef[:, None], 0.0)
-    if identity_slots:
+    if identity_slots == "doubled":
+        half = img.shape[0]
+        img = img + contrib[:half] + contrib[half : 2 * half]
+    elif identity_slots:
         img = img + contrib
     else:
         img = img.at[pool.slot].add(contrib)
@@ -415,15 +419,25 @@ def trace_whitted(
     if cfg.depth == 0:
         return TraceResult(color=img, casts=casts, dropped=dropped)
 
-    # Pad level-0 candidates (width 2n) to the loop's carry width 2k.
-    pad = 2 * k - 2 * n
+    # Level 1 is peeled: level 0 emits exactly 2n candidates, which IS a
+    # valid pool (any capacity >= 2n holds them) — compacting it would be a
+    # pure-waste scatter.  Pad with dead lanes up to the loop width k.
+    pad = k - 2 * n
     if pad > 0:
         dead = Pool(**_empty_pool(pad, ray_o.dtype))
         cands = jax.tree.map(
             lambda a, b: jnp.concatenate([a, b], axis=0), cands, dead
         )
     elif pad < 0:
-        raise ValueError("capacity_factor must be >= 1")
+        # capacity below 2: compact the level-0 candidates after all
+        cands, drop = _compact(cands, k)
+        dropped = dropped + drop
+    cands, img, casts = _process_level(
+        scene, textures, cfg, cands, img, casts, last=(cfg.depth == 1),
+        identity_slots="doubled" if pad >= 0 else False,
+    )
+    if cfg.depth == 1:
+        return TraceResult(color=img, casts=casts, dropped=dropped)
 
     def level_body(i, state):
         cands, img, casts, dropped = state
@@ -436,6 +450,6 @@ def trace_whitted(
         return cands, img, casts, dropped
 
     _, img, casts, dropped = jax.lax.fori_loop(
-        1, cfg.depth + 1, level_body, (cands, img, casts, dropped)
+        2, cfg.depth + 1, level_body, (cands, img, casts, dropped)
     )
     return TraceResult(color=img, casts=casts, dropped=dropped)
