@@ -35,6 +35,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="npz path for epoch-granular resume")
     p.add_argument("--tile-rays", type=int, default=1 << 16)
     p.add_argument("--obj", default=None, help="override dodecahedron OBJ path")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="device-trace the render into DIR and print the top"
+                        " HLO ops afterwards (jax.profiler / xprof)")
     return p
 
 
@@ -58,10 +61,21 @@ def main(argv=None) -> int:
     except TypeError:
         scene, textures = preset()
     camera = demo_camera()
-    render_progressive(
-        scene, textures, camera, cfg,
-        out_path=args.out, seed=args.seed, checkpoint_path=args.checkpoint,
-    )
+    if args.profile:
+        from raytracer_tpu.utils.profiling import print_profile, profile_trace
+
+        with profile_trace(args.profile):
+            render_progressive(
+                scene, textures, camera, cfg,
+                out_path=args.out, seed=args.seed,
+                checkpoint_path=args.checkpoint,
+            )
+        print_profile(args.profile)
+    else:
+        render_progressive(
+            scene, textures, camera, cfg,
+            out_path=args.out, seed=args.seed, checkpoint_path=args.checkpoint,
+        )
     return 0
 
 

@@ -36,6 +36,29 @@ from raytracer_tpu.render import clip_coords
 from raytracer_tpu.scene.types import Camera, Scene
 
 
+def init_multihost(coordinator: Optional[str] = None,
+                   num_processes: Optional[int] = None,
+                   process_id: Optional[int] = None) -> None:
+    """Multi-host (multi-slice) initialization.
+
+    On a multi-host TPU pod each process calls this before any jax op
+    (standard jax.distributed flow); afterwards jax.devices() spans the
+    pod and the same (dp, sp) mesh code shards the frame across hosts —
+    the scene is replicated, the only cross-host traffic is the sp-axis
+    psum and the final tile gather.  Single-host setups skip this.
+    """
+    import jax
+
+    kwargs = {}
+    if coordinator is not None:
+        kwargs = dict(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)
+
+
 def make_render_mesh(
     n_devices: Optional[int] = None, sp: Optional[int] = None
 ) -> Mesh:
