@@ -36,7 +36,15 @@ _BIG = 3.0e38  # stand-in for +inf (avoids inf-inf NaN traps)
 
 
 def pack_tri(scene: Scene) -> jnp.ndarray:
-    """[T, 16] triangle table: cols fn(3), d(1), g0(3), g1(3), g2(3), h(3)."""
+    """[T, 34] triangle table.
+
+    cols: fn(0:3), d(3), g0(4:7), g1(7:10), g2(10:13), h(13:16),
+          n0(16:19), n1(19:22), n2(22:25), uv0(25:27), uv1(27:29),
+          uv2(29:31), area2(31), obj(32), pad(33).  The winner sweep uses
+    cols 0:16; the march kernel additionally uses the vertex normals and
+    area2 for in-kernel interior-normal reconstruction.
+    """
+    T = scene.n_tri
     return jnp.concatenate(
         [
             scene.tri_fn,  # 0:3
@@ -45,16 +53,30 @@ def pack_tri(scene: Scene) -> jnp.ndarray:
             scene.tri_g[:, 1, :],  # 7:10
             scene.tri_g[:, 2, :],  # 10:13
             scene.tri_h,  # 13:16
+            scene.tri_n[:, 0, :],  # 16:19
+            scene.tri_n[:, 1, :],  # 19:22
+            scene.tri_n[:, 2, :],  # 22:25
+            scene.tri_uv[:, 0, :],  # 25:27
+            scene.tri_uv[:, 1, :],  # 27:29
+            scene.tri_uv[:, 2, :],  # 29:31
+            scene.tri_area2[:, None],  # 31
+            scene.tri_obj[:, None].astype(jnp.float32),  # 32
+            jnp.zeros((T, 1), jnp.float32),  # 33
         ],
         axis=1,
     ).astype(jnp.float32)
 
 
 def pack_sph(scene: Scene) -> jnp.ndarray:
-    """[S, 8] sphere table: cols cx, cy, cz, r^2 (+4 pad)."""
+    """[S, 8] sphere table: cols cx, cy, cz, r^2, obj (+3 pad)."""
     S = scene.n_sph
     return jnp.concatenate(
-        [scene.sph_c, (scene.sph_r**2)[:, None], jnp.zeros((S, 4), jnp.float32)],
+        [
+            scene.sph_c,
+            (scene.sph_r**2)[:, None],
+            scene.sph_obj[:, None].astype(jnp.float32),
+            jnp.zeros((S, 3), jnp.float32),
+        ],
         axis=1,
     ).astype(jnp.float32)
 

@@ -97,7 +97,28 @@ def refract_march(
     want: lanes that need refraction.  Misses inside the dielectric
     (Refraction::Infinite) and still-trapped rays both yield escaped=False,
     matching both call sites treating them as black (508-511, 605-611).
+
+    On TPU backends the whole march runs inside one Pallas kernel
+    (ops/march_pallas.py) with per-tile early exit; this XLA while-loop
+    version is the oracle/fallback path.
     """
+    from raytracer_tpu.ops.intersect import _pallas_choice
+
+    interp = _pallas_choice()
+    if interp is not None and scene.bvh_node_min is None and scene.n_prim > 0:
+        from raytracer_tpu.ops import march_pallas
+
+        escaped, travel, esc_o, esc_d, esc_prim, casts = march_pallas.march(
+            scene, pos, normal, ray_d, prim, k, want,
+            max_distance=cfg.max_refract_distance,
+            max_retries=cfg.max_tir_retries,
+            interpret=interp,
+        )
+        return MarchResult(
+            escaped=escaped, travel=travel, esc_o=esc_o, esc_d=esc_d,
+            esc_prim=esc_prim, casts=casts,
+        )
+
     n = pos.shape[0]
 
     rin, ok_in = refract_dir(normal, ray_d, k)
