@@ -38,14 +38,31 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="device-trace the render into DIR and print the top"
                         " HLO ops afterwards (jax.profiler / xprof)")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans (test mode; the reference "
+                        "hints at NaN issues by filtering non-normal "
+                        "photons, SURVEY.md §5.2)")
     return p
 
 
 def main(argv=None) -> int:
+    import os
+
+    if os.environ.get("RAYTPU_FORCE_CPU"):
+        # This container's sitecustomize preloads a TPU tunnel backend;
+        # plain env vars are too late, jax.config is not.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     from raytracer_tpu.utils.cache import enable_compile_cache
 
     enable_compile_cache()
     args = build_parser().parse_args(argv)
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     cfg = RenderConfig(
         width=args.width,
         height=args.height,

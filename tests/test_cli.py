@@ -1,0 +1,51 @@
+"""CLI end-to-end in a subprocess (CPU, tiny frame)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+from raytracer_tpu.utils.png import read_png_rgb8
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, cwd):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["RAYTPU_FORCE_CPU"] = "1"
+    return subprocess.run(
+        [sys.executable, "-m", "raytracer_tpu", *args],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600,
+    )
+
+
+def test_cli_whitted_only(tmp_path):
+    out = str(tmp_path / "cli.png")
+    r = _run(["--scene", "01-spheres", "--width", "12", "--height", "8",
+              "--depth", "1", "--epochs", "0", "--out", out,
+              "--tile-rays", "96"], cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+    img = read_png_rgb8(out)
+    assert img.shape == (8, 12, 3)
+    assert img.sum() > 0
+    assert "rays in" in r.stdout
+
+
+def test_cli_epochs_and_checkpoint(tmp_path):
+    out = str(tmp_path / "cli2.png")
+    ckpt = str(tmp_path / "cli2.npz")
+    r = _run(["--scene", "01-spheres", "--width", "12", "--height", "8",
+              "--depth", "1", "--epochs", "2", "--out", out,
+              "--checkpoint", ckpt, "--tile-rays", "96"], cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(ckpt)
+    data = np.load(ckpt)
+    assert int(data["epoch"]) == 2
+    # resume prints the resume line and runs 1 more epoch
+    r2 = _run(["--scene", "01-spheres", "--width", "12", "--height", "8",
+               "--depth", "1", "--epochs", "3", "--out", out,
+               "--checkpoint", ckpt, "--tile-rays", "96"], cwd=REPO)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "resumed at epoch 2" in r2.stdout
