@@ -41,6 +41,12 @@ class RenderConfig:
     # 1.5 drops ~0.05% of bounce rays on the demo scene — overflow is
     # counted in TraceResult.dropped, never silent.
     capacity_factor: float = 2.0
+    # Pool width for deep bounce levels (level >= 2), as a multiple of the
+    # primary count.  Live rays decay fast (demo scene: 0.60n entering
+    # level 2, 0.30n at level 5), so deep levels run in a narrower pool;
+    # 1.5 is drop-free on the demo scene (1.25 drops ~300 of 21M rays);
+    # overflow is counted in TraceResult.dropped, never silent.
+    deep_capacity: float = 1.5
     # f32 everywhere (geometry needs it); kept as a knob for experiments.
     dtype: str = "float32"
 

@@ -460,17 +460,25 @@ def trace_whitted(
     if cfg.depth == 1:
         return TraceResult(color=img, casts=casts, dropped=dropped)
 
+    # Deep bounce levels (>= 2) run in a narrower pool: live rays decay to
+    # ~0.3-0.6n there (absorption + threshold pruning), so paying 2n-wide
+    # sweeps is waste.  Overflow is counted.
+    k2 = max(128, -(-int(n * cfg.deep_capacity) // 128) * 128)
+
+    pool2, drop = _compact(cands, k2)  # level-2 entry compact (4n rows)
+    dropped = dropped + drop
+
     def level_body(i, state):
-        cands, img, casts, dropped = state
-        pool, drop = _compact(cands, k)
-        dropped = dropped + drop
+        pool, img, casts, dropped = state
         last = i >= cfg.depth
         cands, img, casts = _process_level(
             scene, textures, cfg, pool, img, casts, last, identity_slots=False
         )
-        return cands, img, casts, dropped
+        pool, drop = _compact(cands, k2)
+        dropped = dropped + drop
+        return pool, img, casts, dropped
 
     _, img, casts, dropped = jax.lax.fori_loop(
-        2, cfg.depth + 1, level_body, (cands, img, casts, dropped)
+        2, cfg.depth + 1, level_body, (pool2, img, casts, dropped)
     )
     return TraceResult(color=img, casts=casts, dropped=dropped)

@@ -91,15 +91,30 @@ def _mc_frame(scene: Scene, camera: Camera, clips_tiled, key, textures,
     return photons, jnp.sum(casts), jnp.sum(filtered)
 
 
+_CLIPS_CACHE: dict = {}
+
+
 def _tiled_clips(cfg: RenderConfig):
-    """[n_tiles, tile, 2] clip grid, padded with dead rays at the tail."""
-    clips = clip_coords(cfg.width, cfg.height)
-    n = clips.shape[0]
+    """[n_tiles, tile, 2] clip grid, padded with dead rays at the tail.
+
+    Cached on device per (width, height, tile): re-uploading 8 MB of clip
+    coordinates through a remote-attached chip every frame is measurable.
+    """
+    n = cfg.width * cfg.height
     tile = min(cfg.tile_rays, n)
+    key = (cfg.width, cfg.height, tile)
+    hit = _CLIPS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    clips = clip_coords(cfg.width, cfg.height)
     pad = (-n) % tile
     if pad:
         clips = np.concatenate([clips, np.zeros((pad, 2), np.float32)])
-    return jnp.asarray(clips.reshape(-1, tile, 2)), pad
+    out = (jnp.asarray(clips.reshape(-1, tile, 2)), pad)
+    if len(_CLIPS_CACHE) > 16:
+        _CLIPS_CACHE.clear()
+    _CLIPS_CACHE[key] = out
+    return out
 
 
 def render_whitted(
