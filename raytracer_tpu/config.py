@@ -47,6 +47,10 @@ class RenderConfig:
     # 1.5 is drop-free on the demo scene (1.25 drops ~300 of 21M rays);
     # overflow is counted in TraceResult.dropped, never silent.
     deep_capacity: float = 1.5
+    # Pool width for tail bounce levels (level >= 3): live rays are at
+    # most ~0.45n entering level 3 on the demo scene.  Same counted-
+    # overflow contract.
+    tail_capacity: float = 1.25
     # f32 everywhere (geometry needs it); kept as a knob for experiments.
     dtype: str = "float32"
 

@@ -467,6 +467,17 @@ def trace_whitted(
 
     pool2, drop = _compact(cands, k2)  # level-2 entry compact (4n rows)
     dropped = dropped + drop
+    cands, img, casts = _process_level(
+        scene, textures, cfg, pool2, img, casts, last=(cfg.depth == 2),
+        identity_slots=False,
+    )
+    if cfg.depth == 2:
+        return TraceResult(color=img, casts=casts, dropped=dropped)
+
+    # Tail levels (>= 3): live rays have decayed again; narrow once more.
+    k3 = max(128, -(-int(n * cfg.tail_capacity) // 128) * 128)
+    pool3, drop = _compact(cands, k3)
+    dropped = dropped + drop
 
     def level_body(i, state):
         pool, img, casts, dropped = state
@@ -474,11 +485,11 @@ def trace_whitted(
         cands, img, casts = _process_level(
             scene, textures, cfg, pool, img, casts, last, identity_slots=False
         )
-        pool, drop = _compact(cands, k2)
+        pool, drop = _compact(cands, k3)
         dropped = dropped + drop
         return pool, img, casts, dropped
 
     _, img, casts, dropped = jax.lax.fori_loop(
-        2, cfg.depth + 1, level_body, (pool2, img, casts, dropped)
+        3, cfg.depth + 1, level_body, (pool3, img, casts, dropped)
     )
     return TraceResult(color=img, casts=casts, dropped=dropped)
