@@ -321,3 +321,135 @@ def any_hit(scene: Scene, rays: Rays, active=None, limit=None,
         interpret=interpret,
     )(o_t, d_t, meta, lim, tri, sph)
     return blocked[0, :n] != 0
+
+
+# ---------------------------------------------------------------------------
+# Fused multi-light shadow predicate
+# ---------------------------------------------------------------------------
+
+
+def _shadow_kernel(o_ref, d_ref, excl_ref, limit_ref, act_ref, tri_ref,
+                   sph_ref, out_ref, *, n_tri: int, n_sph: int, n_light: int):
+    """All lights' shadow sweeps in one launch.
+
+    Shadow rays share their origin (the shading point) and differ per light
+    only in direction/limit, so the origin-dependent plane terms (fn.o,
+    g_e.o) are computed once and reused across lights.  Shadow rays are
+    face=Back with exclusion (prim, BACK) — against the Back-face-only
+    candidate set the exclusion reduces to "not the source primitive"
+    (src/main.rs:425-448).
+
+    o_ref [3,R]; d_ref [3L,R]; excl [1,R] i32; limit [L,R]; act [L,R] i32;
+    out [L,R] i32.
+    """
+    ox, oy, oz = o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :]
+    excl_prim = excl_ref[0:1, :]
+
+    # origin-dependent terms, shared across lights
+    if n_tri > 0:
+        tri = tri_ref[:, :]
+        fn0, fn1, fn2 = tri[:, 0:1], tri[:, 1:2], tri[:, 2:3]
+        dpl = tri[:, 3:4]
+        o_fn = fn0 * ox + fn1 * oy + fn2 * oz
+        og = []
+        for e in range(3):
+            g0 = tri[:, 4 + 3 * e : 5 + 3 * e]
+            g1 = tri[:, 5 + 3 * e : 6 + 3 * e]
+            g2 = tri[:, 6 + 3 * e : 7 + 3 * e]
+            og.append(g0 * ox + g1 * oy + g2 * oz)
+        tri_prim = jax.lax.broadcasted_iota(jnp.int32, o_fn.shape, 0)
+        not_self_tri = excl_prim != tri_prim
+    if n_sph > 0:
+        sph = sph_ref[:, :]
+        cx, cy, cz, r2 = sph[:, 0:1], sph[:, 1:2], sph[:, 2:3], sph[:, 3:4]
+        wx = cx - ox
+        wy = cy - oy
+        wz = cz - oz
+        sph_prim = n_tri + jax.lax.broadcasted_iota(
+            jnp.int32, wx.shape, 0
+        )
+        not_self_sph = excl_prim != sph_prim
+
+    for l in range(n_light):
+        dx = d_ref[3 * l : 3 * l + 1, :]
+        dy = d_ref[3 * l + 1 : 3 * l + 2, :]
+        dz = d_ref[3 * l + 2 : 3 * l + 3, :]
+        limit = limit_ref[l : l + 1, :]
+        active = act_ref[l : l + 1, :] != 0
+        blocked = jnp.zeros((1, ox.shape[1]), jnp.int32)
+
+        if n_tri > 0:
+            no_d = fn0 * dx + fn1 * dy + fn2 * dz
+            backface = no_d > 0.0  # Back rays hit backfaces only
+            t = (dpl - o_fn) / no_d
+            ok = backface & (t > 0.0) & not_self_tri
+            for e in range(3):
+                g0 = tri[:, 4 + 3 * e : 5 + 3 * e]
+                g1 = tri[:, 5 + 3 * e : 6 + 3 * e]
+                g2 = tri[:, 6 + 3 * e : 7 + 3 * e]
+                h = tri[:, 13 + e : 14 + e]
+                dg = g0 * dx + g1 * dy + g2 * dz
+                ok = ok & (og[e] + h + t * dg >= 0.0)
+            ok = ok & active & jnp.isfinite(t) & (t < limit)
+            blocked = blocked | jnp.any(ok, axis=0, keepdims=True).astype(jnp.int32)
+
+        if n_sph > 0:
+            px = wy * dz - wz * dy
+            py = wz * dx - wx * dz
+            pz = wx * dy - wy * dx
+            dist2 = px * px + py * py + pz * pz
+            tc = dx * wx + dy * wy + dz * wz
+            kk = jnp.sqrt(jnp.maximum(r2 - dist2, 0.0))
+            t = tc + kk  # Back rays take the far shell
+            ok = (
+                active & (dist2 <= r2) & (t > 0.0) & not_self_sph
+                & jnp.isfinite(t) & (t < limit)
+            )
+            blocked = blocked | jnp.any(ok, axis=0, keepdims=True).astype(jnp.int32)
+
+        out_ref[l : l + 1, :] = blocked
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def shadow_any_hit(scene: Scene, pos, dirs, excl_prim, limits, actives,
+                   interpret: bool = False):
+    """Fused shadow predicate for all lights.
+
+    pos [N,3]; dirs [L,N,3] (toward each light); excl_prim [N] (the shaded
+    primitive, excluded on its back side); limits [L,N]; actives [L,N].
+    Returns blocked [L,N] bool.
+    """
+    L, n = dirs.shape[0], pos.shape[0]
+    tile = min(TILE_R, max(128, -(-n // 128) * 128))
+    n_pad = (-n) % tile
+    grid = (n + n_pad) // tile
+
+    def pad(x):
+        return jnp.pad(x, [(0, 0), (0, n_pad)]) if n_pad else x
+
+    o_t = pad(pos.T)
+    d_t = pad(dirs.transpose(0, 2, 1).reshape(3 * L, n))
+    e_t = pad(excl_prim[None, :])
+    lim_t = pad(jnp.minimum(limits, _BIG))
+    act_t = pad(actives.astype(jnp.int32))
+    tri = pack_tri(scene) if scene.n_tri > 0 else jnp.zeros((8, 34), jnp.float32)
+    sph = pack_sph(scene) if scene.n_sph > 0 else jnp.zeros((8, 8), jnp.float32)
+
+    kernel = functools.partial(
+        _shadow_kernel, n_tri=scene.n_tri, n_sph=scene.n_sph, n_light=L
+    )
+    row = lambda r: pl.BlockSpec((r, tile), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM)
+    blocked = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            row(3), row(3 * L), row(1), row(L), row(L),
+            pl.BlockSpec(tri.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(sph.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=row(L),
+        out_shape=jax.ShapeDtypeStruct((L, o_t.shape[1]), jnp.int32),
+        interpret=interpret,
+    )(o_t, d_t, e_t, lim_t, act_t, tri, sph)
+    return blocked[:, :n] != 0
