@@ -21,6 +21,7 @@ sized, not sweep-sized).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -29,8 +30,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from raytracer_tpu.scene.types import FACE_BACK, FACE_FRONT, Rays, Scene
 
-# Rays per grid program (lane dimension; multiple of 128).
-TILE_R = 2048
+# Rays per grid program (lane dimension; multiple of 128).  Finer tiles
+# give the march kernel better early-exit granularity, coarser ones less
+# per-program overhead; 2048 measured best on v5e.
+TILE_R = int(os.environ.get("RAYTPU_TILE_R", 2048))
 
 _BIG = 3.0e38  # stand-in for +inf (avoids inf-inf NaN traps)
 
