@@ -11,7 +11,6 @@ defaults, plus the knobs SURVEY.md §5.6 calls for.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import sys
 
 from raytracer_tpu.config import RenderConfig

@@ -17,7 +17,6 @@ import jax.numpy as jnp
 
 from raytracer_tpu.scene.types import (
     LIGHT_DIRECTIONAL,
-    LIGHT_POINT,
     LIGHT_SPOT,
     Scene,
 )

@@ -8,9 +8,8 @@ every iteration pays kernel launches and HBM round-trips across the whole
 pool even though only glass lanes march.
 
 Here the WHOLE march runs inside one kernel: each 2048-lane grid program
-loops over its own tile with a predicated fori (scalar `any(pending)`
-check per iteration), so programs whose tile has no marching lanes pay one
-scalar check and exit.  The sweep reuses the [prims x lanes] tables of
+loops over its own tile with a lax.while_loop, so programs whose tile has
+no marching lanes pay one scalar any() check and exit.  The sweep reuses the [prims x lanes] tables of
 intersect_pallas; interior hits reconstruct their (backface-flipped,
 unnormalized-interpolation) shading normal in-kernel via one-hot masked
 reduces over the triangle table.
@@ -36,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from raytracer_tpu.scene.types import Rays, Scene
+from raytracer_tpu.scene.types import Scene
 from raytracer_tpu.ops.intersect_pallas import TILE_R, pack_sph, pack_tri
 
 _BIG = 3.0e38
@@ -72,7 +71,6 @@ def _back_sweep_with_normal(px, py, pz, dx, dy, dz, active, tri, sph,
     best_t = jnp.full(shape, _BIG, jnp.float32)
     best_i = jnp.full(shape, -1, jnp.int32)
 
-    tm_tri = None
     if n_tri > 0:
         fn0, fn1, fn2 = tri[:, 0:1], tri[:, 1:2], tri[:, 2:3]
         dpl = tri[:, 3:4]

@@ -10,7 +10,7 @@ flattens everything into the Scene pytree (one device transfer).
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np
