@@ -26,11 +26,14 @@ def dodecahedron_vertices() -> np.ndarray:
         for sy in (-1, 1):
             for sz in (-1, 1):
                 verts.append((sx, sy, sz))
+    # Edge-vertex family in the same chirality as the reference asset
+    # (/root/reference/dodecahedron.obj: cyclic (phi, 1/phi, 0) — the
+    # mirror family renders the solid in a different orientation).
     for s1 in (-1, 1):
         for s2 in (-1, 1):
-            verts.append((0.0, s1 / PHI, s2 * PHI))
-            verts.append((s1 / PHI, s2 * PHI, 0.0))
-            verts.append((s1 * PHI, 0.0, s2 / PHI))
+            verts.append((0.0, s1 * PHI, s2 / PHI))
+            verts.append((s1 / PHI, 0.0, s2 * PHI))
+            verts.append((s1 * PHI, s2 / PHI, 0.0))
     v = np.asarray(verts, dtype=np.float64)
     return (v / np.sqrt(3.0)).astype(np.float32)
 
@@ -39,15 +42,15 @@ def dodecahedron_faces() -> List[List[int]]:
     """12 pentagons as vertex-index rings, wound outward (CCW from outside)."""
     v = dodecahedron_vertices().astype(np.float64)
     # Face centers point along icosahedron vertex directions; for THIS
-    # dodecahedron orientation the matching chirality is (0, ±phi, ±1)
-    # cyclic (the other one, (0, ±1, ±phi), bisects edges instead — the
-    # five face vertices then do not share their dot product with u).
+    # dodecahedron orientation the matching chirality is (0, ±1, ±phi)
+    # cyclic (the other family bisects edges instead — the five face
+    # vertices then do not share their dot product with u).
     dirs = []
     for s1 in (-1, 1):
         for s2 in (-1, 1):
-            dirs.append((0.0, s1 * PHI, s2))
-            dirs.append((s1 * PHI, s2, 0.0))
-            dirs.append((s1, 0.0, s2 * PHI))
+            dirs.append((0.0, s1, s2 * PHI))
+            dirs.append((s1, s2 * PHI, 0.0))
+            dirs.append((s1 * PHI, 0.0, s2))
     faces = []
     for u in np.asarray(dirs, dtype=np.float64):
         u = u / np.linalg.norm(u)

@@ -322,7 +322,10 @@ PRESETS = {
     "01-spheres": spheres_scene,
     "02-triangles": triangles_scene,
     "03-recursive": recursive_scene,
+    "04-recursive": recursive_scene,  # 03/04 share the BASELINE config
+    "05-triangles": triangles_scene,  # 02/05 share the BASELINE config
     "06-obj": obj_scene,
+    "07-obj": obj_scene,  # 06/07 share the BASELINE config
     "08-full": full_scene,
     "full": full_scene,
     "demo": demo_scene,
