@@ -37,6 +37,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="device-trace the render into DIR and print the top"
                         " HLO ops afterwards (jax.profiler / xprof)")
+    p.add_argument("--devices", type=int, default=0, metavar="N",
+                   help="shard over the first N devices as a (dp, sp) mesh "
+                        "(0 = single-device path)")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (test mode; the reference "
                         "hints at NaN issues by filtering non-normal "
@@ -77,6 +80,12 @@ def main(argv=None) -> int:
     except TypeError:
         scene, textures = preset()
     camera = demo_camera()
+    mesh = None
+    if args.devices:
+        from raytracer_tpu.parallel.mesh import make_render_mesh
+
+        mesh = make_render_mesh(args.devices)
+        print(f"mesh: {dict(mesh.shape)}")
     if args.profile:
         from raytracer_tpu.utils.profiling import print_profile, profile_trace
 
@@ -84,13 +93,14 @@ def main(argv=None) -> int:
             render_progressive(
                 scene, textures, camera, cfg,
                 out_path=args.out, seed=args.seed,
-                checkpoint_path=args.checkpoint,
+                checkpoint_path=args.checkpoint, mesh=mesh,
             )
         print_profile(args.profile)
     else:
         render_progressive(
             scene, textures, camera, cfg,
             out_path=args.out, seed=args.seed, checkpoint_path=args.checkpoint,
+            mesh=mesh,
         )
     return 0
 

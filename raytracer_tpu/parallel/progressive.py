@@ -77,14 +77,38 @@ def render_progressive(
     checkpoint_path: Optional[str] = None,
     on_epoch: Optional[Callable[[int, dict], None]] = None,
     log: Callable[[str], None] = print,
+    mesh=None,
 ) -> ProgressiveState:
     """Full reference schedule: Whitted pass + cfg.epochs stochastic epochs,
-    progressive PNG after each, optional checkpoint each epoch."""
+    progressive PNG after each, optional checkpoint each epoch.
+
+    With a `mesh` (parallel/mesh.make_render_mesh), the whitted pass shards
+    pixel tiles over the dp axis and each epoch gathers |sp| samples per
+    pixel over ICI — the multi-chip analogue of the reference's rayon pool.
+    """
     state = load_checkpoint(checkpoint_path) if checkpoint_path else None
+
+    if mesh is not None:
+        from raytracer_tpu.parallel.mesh import (
+            render_mc_epoch_sharded,
+            render_whitted_sharded,
+        )
+
+        whitted_fn = lambda: render_whitted_sharded(
+            scene, textures, camera, cfg, mesh
+        )
+        epoch_fn = lambda key: render_mc_epoch_sharded(
+            scene, textures, camera, cfg, mesh, key
+        )
+    else:
+        whitted_fn = lambda: render_whitted(scene, textures, camera, cfg)
+        epoch_fn = lambda key: render_distributed_epoch(
+            scene, textures, camera, cfg, key
+        )
 
     if state is None:
         t0 = time.time()
-        img, stats = render_whitted(scene, textures, camera, cfg)
+        img, stats = whitted_fn()
         dt = max(time.time() - t0, 1e-9)
         log(
             f"{stats['primary_rays']} rays in {dt * 1e3:.0f} ms "
@@ -102,7 +126,7 @@ def render_progressive(
     while state.epoch < cfg.epochs:
         t0 = time.time()
         ekey = jax.random.fold_in(base_key, state.epoch)
-        photons, stats = render_distributed_epoch(scene, textures, camera, cfg, ekey)
+        photons, stats = epoch_fn(ekey)
         img = state.img + photons  # accumulate on top (main.rs:1163-1166)
         img = post_process(img, cfg.percentile)  # in-place renorm (1171)
         dt = max(time.time() - t0, 1e-9)

@@ -52,6 +52,26 @@ def test_progressive_schedule_and_resume(tmp_path):
     np.testing.assert_array_equal(np.asarray(back.img), np.asarray(st2.img))
 
 
+def test_progressive_with_mesh(tmp_path):
+    """Sharded progressive driver on the 8-device virtual mesh: dp-sharded
+    whitted + sample-parallel epochs (2 samples per pixel per epoch)."""
+    from raytracer_tpu.parallel.mesh import make_render_mesh
+
+    scene, textures = spheres_scene()
+    cfg = RenderConfig(width=16, height=8, depth=1, epochs=2, tile_rays=128)
+    mesh = make_render_mesh(8)
+    out = str(tmp_path / "mesh.png")
+    logs = []
+    st = render_progressive(
+        scene, textures, demo_camera(), cfg, out_path=out, seed=5,
+        log=logs.append, mesh=mesh,
+    )
+    assert st.epoch == 2
+    assert os.path.exists(out)
+    assert np.isfinite(np.asarray(st.img)).all()
+    assert len(logs) == 3
+
+
 def test_progressive_deterministic_same_seed(tmp_path):
     scene, textures = spheres_scene()
     cfg = RenderConfig(width=8, height=6, depth=1, epochs=2, tile_rays=48)
