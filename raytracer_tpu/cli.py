@@ -21,6 +21,9 @@ from raytracer_tpu.scene.presets import PRESETS, demo_camera
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="raytracer_tpu", description=__doc__)
     p.add_argument("--scene", default="demo", choices=sorted(PRESETS.keys()))
+    p.add_argument("--scene-file", default=None, metavar="JSON",
+                   help="load a JSON scene (scene/serialize.py format) "
+                        "instead of a preset; its camera is used if present")
     p.add_argument("--width", type=int, default=1280)
     p.add_argument("--height", type=int, default=960)
     p.add_argument("--depth", type=int, default=5)
@@ -74,12 +77,19 @@ def main(argv=None) -> int:
         blur=args.blur,
         tile_rays=args.tile_rays,
     )
-    preset = PRESETS[args.scene]
-    try:
-        scene, textures = preset(obj_path=args.obj)  # type: ignore[call-arg]
-    except TypeError:
-        scene, textures = preset()
-    camera = demo_camera()
+    if args.scene_file:
+        from raytracer_tpu.scene.serialize import load_scene_file
+
+        scene, textures, camera = load_scene_file(args.scene_file)
+        if camera is None:
+            camera = demo_camera()
+    else:
+        preset = PRESETS[args.scene]
+        try:
+            scene, textures = preset(obj_path=args.obj)  # type: ignore[call-arg]
+        except TypeError:
+            scene, textures = preset()
+        camera = demo_camera()
     mesh = None
     if args.devices:
         from raytracer_tpu.parallel.mesh import make_render_mesh
