@@ -70,3 +70,60 @@ def test_render_whitted_degenerate_scenes():
         img, stats = render_whitted(maker(), DEFAULT_TEXTURES, demo_camera(), cfg)
         assert np.isfinite(np.asarray(img)).all()
         assert stats["dropped"] == 0
+
+
+def _glass_sphere_only():
+    b = SceneBuilder()
+    b.push_object(MaterialSpec(diffuse_color=(1, 1, 1), shiness=1.0,
+                               smoothness=0.001, refraction_index=1.12,
+                               opaque_decay=0.3, transparency=0.96)
+                  ).push_sphere((0, 0.5, 0), 0.5)
+    b.push_directional_light((0, -1, 0), (1, 1, 1))
+    return b.build()
+
+
+def _glass_tris_only():
+    b = SceneBuilder()
+    glass = MaterialSpec(diffuse_color=(1, 0.8, 0.6), shiness=1.0,
+                         smoothness=1e-5, refraction_index=1.6,
+                         opaque_decay=0.1, transparency=1.0)
+    p = b.push_object(glass)
+    # closed slab z in [0.0, 0.2]
+    p.push_triangles(square([
+        ((0.5, 1.5, 0.2), (0, 0)), ((-0.5, 1.5, 0.2), (0, 1)),
+        ((-0.5, 0.5, 0.2), (1, 0)), ((0.5, 0.5, 0.2), (0, 1)),
+    ]))
+    p.push_triangles(square([
+        ((0.5, 0.5, 0.0), (0, 1)), ((-0.5, 0.5, 0.0), (1, 0)),
+        ((-0.5, 1.5, 0.0), (0, 1)), ((0.5, 1.5, 0.0), (0, 0)),
+    ]))
+    b.push_directional_light((0, -1, 0), (1, 1, 1))
+    return b.build()
+
+
+@pytest.mark.parametrize("mode", ["0", "interpret"])
+@pytest.mark.parametrize("maker", [_glass_sphere_only, _glass_tris_only],
+                         ids=["glass-sphere", "glass-tris"])
+def test_march_degenerate_glass(maker, mode):
+    """The interior march handles sphere-only and triangle-only dielectrics
+    identically in the XLA and Pallas paths."""
+    scene = maker()
+    cfg = RenderConfig(width=10, height=8, depth=3, tile_rays=80)
+    cam = demo_camera()
+    intersect.set_pallas_mode(mode)
+    try:
+        img, stats = render_whitted(scene, DEFAULT_TEXTURES, cam, cfg)
+    finally:
+        intersect.set_pallas_mode("auto")
+    img = np.asarray(img)
+    assert np.isfinite(img).all()
+    assert stats["dropped"] == 0
+    if mode == "0":
+        test_march_degenerate_glass.cache = getattr(
+            test_march_degenerate_glass, "cache", {}
+        )
+        test_march_degenerate_glass.cache[maker.__name__] = img
+    else:
+        ref = test_march_degenerate_glass.cache.get(maker.__name__)
+        if ref is not None:
+            np.testing.assert_allclose(img, ref, atol=2e-4, rtol=1e-3)
