@@ -121,3 +121,81 @@ def load_scene_file(path: str):
     with open(path) as f:
         data = json.load(f)
     return load_scene_dict(data, base_dir=os.path.dirname(os.path.abspath(path)))
+
+
+def dump_builder(builder: SceneBuilder, camera: Optional[Camera] = None) -> dict:
+    """Serialize a SceneBuilder (pre-build) back to the JSON format.
+
+    Triangles are emitted as explicit vertex triples with uvs (winding
+    normals are rebuilt on load), so dump -> load -> build reproduces the
+    same Scene arrays.
+    """
+    from raytracer_tpu.scene.types import (
+        LIGHT_DIRECTIONAL,
+        LIGHT_POINT,
+        LIGHT_SPOT,
+    )
+
+    objects = []
+    for idx, mat in enumerate(builder._materials):
+        tex = mat.texture
+        entry: dict = {
+            "material": {
+                "diffuse_color": list(map(float, mat.diffuse_color)),
+                "shiness": mat.shiness,
+                "specular_color": list(map(float, mat.specular_color)),
+                "smoothness": mat.smoothness,
+                "transparency": mat.transparency,
+                "refraction_index": mat.refraction_index,
+                "opaque_decay": mat.opaque_decay,
+                "normal": list(map(float, mat.normal)),
+                "texture": DEFAULT_TEXTURES[tex].name if tex else 0,
+            }
+        }
+        tris = [
+            [
+                {"p": [float(x) for x in v.position], "uv": [float(u) for u in v.uv]}
+                for v in verts
+            ]
+            for obj_idx, verts in builder._triangles
+            if obj_idx == idx
+        ]
+        if tris:
+            entry["triangles"] = tris
+        sphs = [
+            {"center": [float(x) for x in c], "radius": r}
+            for obj_idx, c, r in builder._spheres
+            if obj_idx == idx
+        ]
+        if sphs:
+            entry["spheres"] = sphs
+        objects.append(entry)
+
+    lights = []
+    for l in builder._lights:
+        if l["type"] == LIGHT_DIRECTIONAL:
+            lights.append({"type": "directional",
+                           "direction": [float(x) for x in l["direction"]],
+                           "color": [float(x) for x in l["color"]]})
+        elif l["type"] == LIGHT_SPOT:
+            lights.append({"type": "spot",
+                           "origin": [float(x) for x in l["origin"]],
+                           "direction": [float(x) for x in l["direction"]],
+                           "angle_deg": float(np.rad2deg(l["angle"])),
+                           "softness": float(l["softness"]),
+                           "color": [float(x) for x in l["color"]]})
+        elif l["type"] == LIGHT_POINT:
+            lights.append({"type": "point",
+                           "origin": [float(x) for x in l["origin"]],
+                           "color": [float(x) for x in l["color"]]})
+
+    out: dict = {"objects": objects, "lights": lights}
+    if camera is not None:
+        out["camera"] = {
+            "fovy_deg": float(np.rad2deg(np.asarray(camera.fovy))),
+            "center": [float(x) for x in np.asarray(camera.center)],
+            "toward": [float(x) for x in np.asarray(camera.toward)],
+            "up": [float(x) for x in np.asarray(camera.up)],
+            "near": float(np.asarray(camera.near)),
+        }
+    return out

@@ -64,3 +64,32 @@ def test_json_scene_errors():
         load_scene_dict({"objects": [{"material": {"glossiness": 1.0}}]})
     with pytest.raises(ValueError, match="unknown light type"):
         load_scene_dict({"lights": [{"type": "area"}]})
+
+
+def test_dump_load_round_trip():
+    from raytracer_tpu.scene.builder import MaterialSpec, SceneBuilder, square
+    from raytracer_tpu.scene.serialize import dump_builder
+
+    b = SceneBuilder()
+    b.push_object(MaterialSpec(diffuse_color=(1, 0.8, 0.6), shiness=0.5,
+                               smoothness=0.01)).push_triangles(square([
+        ((-2, 0, -2), (0, 0)), ((-2, 0, 2), (0, 1)),
+        ((2, 0, 2), (1, 0)), ((2, 0, -2), (1, 1)),
+    ]))
+    b.push_object(MaterialSpec(texture=2, shiness=0.3)).push_sphere(
+        (0, 0.5, 0), 0.5)
+    b.push_spot_light((0, 10, 0), (0, -1, 0), np.deg2rad(60.0), 1.0, (1, 0.5, 0.9))
+    b.push_point_light((0, 0.1, 0), (0.8, 0.8, 1.0))
+    scene_a = b.build()
+
+    data = dump_builder(b, camera=demo_camera())
+    data = json.loads(json.dumps(data))  # force a real JSON round trip
+    scene_b2, _, cam = load_scene_dict(data)
+    assert cam is not None
+    for field in ("tri_v", "tri_n", "tri_uv", "sph_c", "sph_r",
+                  "mat_diffuse", "mat_tex", "light_color", "light_angle"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(scene_a, field)),
+            np.asarray(getattr(scene_b2, field)), atol=1e-6,
+            err_msg=field,
+        )
