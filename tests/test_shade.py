@@ -111,3 +111,57 @@ def test_get_shade_matches_oracle(demo):
         np.testing.assert_allclose(shade[i], ref, atol=2e-3, rtol=2e-2)
         checked += 1
     assert checked > 50
+
+
+# ---------------------------------------------------------------------------
+# Texture `as i32 % 2` semantics at negative uv (VERDICT r1 item 8)
+# ---------------------------------------------------------------------------
+
+
+def _rust_stripes(uv):
+    """Independent Rust-semantics oracle for the stripe closure
+    (src/main.rs:848-854): `(uv.y * 20.0) as i32 % 2 == 0` with `as i32`
+    truncating toward zero and `%` keeping the dividend's sign."""
+    out = np.empty((uv.shape[0], 3), np.float32)
+    for i, (_, v) in enumerate(uv):
+        band = np.fmod(np.trunc(v * 20.0), 2.0) == 0.0  # fmod = Rust %
+        out[i] = (1.0, 1.0, 1.0) if band else (0.5, 0.5, 1.0)
+    return out
+
+
+def _rust_checker(uv):
+    """Rust-semantics oracle for the checker closure (src/main.rs:1019-1025):
+    `((uv.x + uv.y) * 10.0) as i32 % 2 == 0`."""
+    out = np.empty((uv.shape[0], 3), np.float32)
+    for i, (u, v) in enumerate(uv):
+        band = np.fmod(np.trunc((u + v) * 10.0), 2.0) == 0.0
+        out[i] = (1.0, 0.1, 0.1) if band else (0.1, 0.1, 1.0)
+    return out
+
+
+def test_texture_mod2_negative_uv_matches_rust():
+    """Pin the `% 2` parity at negative uv products.
+
+    Rust's `%` is sign-preserving (-3 % 2 == -1) while jnp's is floor-mod
+    (-3 % 2 == 1); both textures only ever test `% 2 == 0`, which is pure
+    parity and identical under either convention (the residues differ only
+    between -1 and +1, never between zero and nonzero).  This test makes
+    that argument executable: a grid straddling zero, band boundaries, and
+    truncation-vs-floor disagreement points (e.g. uv.y*20 in (-1, 0)) must
+    match an independent Rust-semantics scalar oracle exactly.
+    """
+    from raytracer_tpu.scene.textures import checker_diffuse, stripes_diffuse
+
+    vals = np.concatenate([
+        np.linspace(-2.3, 2.3, 47, dtype=np.float32),
+        np.float32([-0.049, -0.025, -0.001, 0.0, 0.001, 0.025, 0.049,
+                    -1.0, 1.0, -0.05, 0.05, -0.1, 0.1]),
+    ])
+    uu, vv = np.meshgrid(vals, vals)
+    uv = np.stack([uu.ravel(), vv.ravel()], axis=-1).astype(np.float32)
+    assert (uv < 0).any()
+
+    got_s = np.asarray(stripes_diffuse(jnp.asarray(uv)))
+    got_c = np.asarray(checker_diffuse(jnp.asarray(uv)))
+    np.testing.assert_array_equal(got_s, _rust_stripes(uv))
+    np.testing.assert_array_equal(got_c, _rust_checker(uv))
