@@ -18,7 +18,9 @@ Detail lines go to stderr.
 from __future__ import annotations
 
 import json
+import os
 import sys
+import tempfile
 import time
 
 
@@ -81,6 +83,31 @@ def main() -> int:
         "resolution": f"{cfg.width}x{cfg.height}",
         "depth": cfg.depth,
     }
+
+    # --- second metric: the FULL reference schedule, end-to-end ---
+    # Exactly what src/main.rs:1084-1173 does: 1280x960, depth 5, Whitted
+    # pass + 100 stochastic epochs, percentile renorm + atomic PNG after
+    # every epoch.  Wall clock includes host round-trips, tone-mapping and
+    # PNG encodes — the honest number for the workload the reference runs.
+    # Skippable for quick perf iterations with RAYTPU_BENCH_FAST=1.
+    if not os.environ.get("RAYTPU_BENCH_FAST"):
+        from raytracer_tpu.parallel.progressive import render_progressive
+
+        sched_cfg = RenderConfig(width=1280, height=960, depth=5, epochs=100,
+                                 tile_rays=1 << 16)
+        out_png = os.path.join(tempfile.gettempdir(), "bench_schedule.png")
+        # warm the two 1280x960 programs (compile, not timed)
+        render_whitted(scene, textures, camera, sched_cfg)
+        render_distributed_epoch(scene, textures, camera, sched_cfg, key)
+        t0 = time.time()
+        render_progressive(scene, textures, camera, sched_cfg,
+                           out_path=out_png, seed=0, log=lambda m: None)
+        sched_dt = time.time() - t0
+        log(f"full schedule (whitted + {sched_cfg.epochs} epochs @1280x960, "
+            f"PNG each epoch): {sched_dt:.1f}s")
+        result["full_schedule_seconds"] = round(sched_dt, 2)
+        result["full_schedule_epochs"] = sched_cfg.epochs
+
     print(json.dumps(result))
     return 0
 

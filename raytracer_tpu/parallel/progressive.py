@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import queue
+import threading
 import time
 from typing import Callable, Optional
 
@@ -65,6 +67,47 @@ def write_image(path: str, img) -> None:
     """Linear accumulated buffer -> sRGB u8 PNG, atomic (main.rs:764-776)."""
     u8 = np.asarray(color_utils.linear_to_u8(img))
     write_png_atomic(path, u8)
+
+
+class _AsyncWriter:
+    """Single background thread for per-epoch output (PNG + checkpoint).
+
+    The reference writes out.png synchronously after every epoch
+    (src/main.rs:1168-1172); here the device→host transfer, PNG encode and
+    checkpoint fsync overlap the NEXT epoch's device compute instead of
+    serializing with it.  One worker thread + an ordered queue keeps the
+    reference's semantics: every epoch's image is written, in order, each
+    via atomic rename, so killing the process still leaves a valid PNG of
+    some completed epoch.  Queue depth 1 bounds host memory and applies
+    backpressure if I/O is slower than tracing.
+    """
+
+    def __init__(self) -> None:
+        self._q: queue.Queue = queue.Queue(maxsize=1)
+        self._err: list = []
+        self._t = threading.Thread(target=self._run, daemon=True)
+        self._t.start()
+
+    def _run(self) -> None:
+        while True:
+            job = self._q.get()
+            if job is None:
+                return
+            try:
+                job()
+            except BaseException as e:  # surfaced on the main thread
+                self._err.append(e)
+
+    def submit(self, job: Callable[[], None]) -> None:
+        if self._err:
+            raise self._err[0]
+        self._q.put(job)
+
+    def close(self) -> None:
+        self._q.put(None)
+        self._t.join()
+        if self._err:
+            raise self._err[0]
 
 
 def render_progressive(
@@ -123,22 +166,36 @@ def render_progressive(
         log(f"resumed at epoch {state.epoch}")
 
     base_key = jax.random.PRNGKey(state.seed)
-    while state.epoch < cfg.epochs:
-        t0 = time.time()
-        ekey = jax.random.fold_in(base_key, state.epoch)
-        photons, stats = epoch_fn(ekey)
-        img = state.img + photons  # accumulate on top (main.rs:1163-1166)
-        img = post_process(img, cfg.percentile)  # in-place renorm (1171)
-        dt = max(time.time() - t0, 1e-9)
-        kept = stats["primary_rays"] - stats["filtered"]
-        log(
-            f"{kept} rays in {dt * 1e3:.0f} ms "
-            f"({stats['casts'] / dt:,.0f} casts/s)"
-        )
-        write_image(out_path, img)
-        state = ProgressiveState(img=img, epoch=state.epoch + 1, seed=state.seed)
-        if checkpoint_path:
-            save_checkpoint(checkpoint_path, state)
-        if on_epoch:
-            on_epoch(state.epoch, stats)
+    writer = _AsyncWriter()
+    try:
+        while state.epoch < cfg.epochs:
+            t0 = time.time()
+            ekey = jax.random.fold_in(base_key, state.epoch)
+            photons, stats = epoch_fn(ekey)
+            img = state.img + photons  # accumulate on top (main.rs:1163-1166)
+            img = post_process(img, cfg.percentile)  # in-place renorm (1171)
+            dt = max(time.time() - t0, 1e-9)
+            kept = stats["primary_rays"] - stats["filtered"]
+            log(
+                f"{kept} rays in {dt * 1e3:.0f} ms "
+                f"({stats['casts'] / dt:,.0f} casts/s)"
+            )
+            state = ProgressiveState(img=img, epoch=state.epoch + 1,
+                                     seed=state.seed)
+            # sRGB conversion is dispatched on-device here; the blocking
+            # host transfer + PNG encode + checkpoint run on the writer
+            # thread, overlapped with the next epoch's tracing.
+            u8_dev = color_utils.linear_to_u8(img)
+            snap = state
+
+            def job(u8_dev=u8_dev, snap=snap):
+                write_png_atomic(out_path, np.asarray(u8_dev))
+                if checkpoint_path:
+                    save_checkpoint(checkpoint_path, snap)
+
+            writer.submit(job)
+            if on_epoch:
+                on_epoch(state.epoch, stats)
+    finally:
+        writer.close()
     return state
