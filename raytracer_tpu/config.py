@@ -43,14 +43,20 @@ class RenderConfig:
     capacity_factor: float = 2.0
     # Pool width for deep bounce levels (level >= 2), as a multiple of the
     # primary count.  Live rays decay fast (demo scene: 0.60n entering
-    # level 2, 0.30n at level 5), so deep levels run in a narrower pool;
-    # 1.5 is drop-free on the demo scene (1.25 drops ~300 of 21M rays);
+    # level 2, 0.30n at level 5), so deep levels run in a narrower pool.
+    # Compaction moves whole groups of `compact_group` rays (ops/trace.py
+    # _compact), so the pool also holds each kept group's dead lanes —
+    # capacities are sized for that occupancy, not just the live count;
     # overflow is counted in TraceResult.dropped, never silent.
-    deep_capacity: float = 1.5
+    deep_capacity: float = 2.0
     # Pool width for tail bounce levels (level >= 3): live rays are at
     # most ~0.45n entering level 3 on the demo scene.  Same counted-
     # overflow contract.
-    tail_capacity: float = 1.25
+    tail_capacity: float = 1.5
+    # Rays move through compaction in groups of this many (one scatter row
+    # per group; TPU scatters pay ~8 ns per row, so coarser groups make
+    # compaction ~group-times cheaper at some pool-occupancy cost).
+    compact_group: int = 8
     # f32 everywhere (geometry needs it); kept as a knob for experiments.
     dtype: str = "float32"
 

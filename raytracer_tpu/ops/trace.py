@@ -259,28 +259,40 @@ def _empty_pool(k: int, dtype=jnp.float32) -> dict:
     )
 
 
-def _compact(candidates: Pool, k: int):
-    """Prefix-sum compaction of candidate rays into a fresh K-slot pool.
+def _compact(candidates: Pool, k: int, group: int = 8):
+    """Block compaction of candidate rays into a fresh K-slot pool.
 
-    Returns (pool, dropped_count).  Lanes beyond capacity are dropped —
+    Returns (pool, dropped_count).  Rays beyond capacity are dropped —
     callers surface the count so silent truncation is visible.
 
-    All ray fields are packed into two wide payloads (f32 and i32) so the
-    whole compaction is TWO scatters, not nine — per-field scatters were
-    72% of frame time on TPU (one scatter fusion costs ~1-2 ms at 256k
-    lanes regardless of payload width).
+    TPU scatters serialize per ROW (~8 ns/row regardless of payload
+    width), so compaction granularity is everything:
+      * all 13 ray fields pack into ONE wide payload (int fields ride as
+        raw f32 bits) — per-field scatters were 72% of frame time;
+      * rays compact in GROUPS of `group`: a group is kept iff any member
+        is alive and moves as one [13*group]-wide row, cutting scatter
+        rows (and time) by `group`x.  Children of adjacent parents are
+        adjacent, so live rays cluster and group occupancy stays high;
+        the pool capacity ladder absorbs the partially-dead groups, and
+        the per-lane `alive` mask rides in the payload (the pool is no
+        longer a dense prefix).
     """
+    assert k % group == 0, (k, group)
+    pad = (-candidates.alive.shape[0]) % group
+    if pad:  # dead-lane pad so candidates split into whole groups
+        dead = Pool(**_empty_pool(pad, candidates.o.dtype))
+        candidates = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), candidates, dead
+        )
     alive = candidates.alive
-    order = jnp.cumsum(alive.astype(jnp.int32)) - 1  # destination per lane
-    dest = jnp.where(alive & (order < k), order, k)  # k == out-of-bounds
-    total = jnp.sum(alive.astype(jnp.int32))
-    dropped = jnp.maximum(total - k, 0)
+    c = alive.shape[0]
+    ng_in, ng_out = c // group, k // group
 
     ints = jnp.stack(
         [candidates.face, candidates.excl_prim, candidates.excl_face,
-         candidates.slot],
+         candidates.slot, alive.astype(jnp.int32)],
         axis=1,
-    )  # [2K, 4] i32
+    )  # [C, 5] i32
     payload = jnp.concatenate(
         [
             candidates.o,
@@ -290,12 +302,20 @@ def _compact(candidates: Pool, k: int):
             jax.lax.bitcast_convert_type(ints, jnp.float32),
         ],
         axis=1,
-    )  # [2K, 12] — int fields ride as raw bits
+    )  # [C, 13] — int fields ride as raw bits
 
-    new = jnp.zeros((k, 12), payload.dtype).at[dest].set(payload, mode="drop")
-    new_i = jax.lax.bitcast_convert_type(new[:, 8:12], jnp.int32)
-    # Compaction is dense-prefix: slot j holds a live ray iff j < total.
-    new_alive = jnp.arange(k, dtype=jnp.int32) < total
+    galive = alive.reshape(ng_in, group)
+    gkeep = jnp.any(galive, axis=1)
+    gcount = jnp.sum(galive, axis=1, dtype=jnp.int32)
+    order = jnp.cumsum(gkeep.astype(jnp.int32)) - 1  # destination group
+    dest = jnp.where(gkeep & (order < ng_out), order, ng_out)
+    dropped = jnp.sum(jnp.where(gkeep & (order >= ng_out), gcount, 0))
+
+    wide = payload.reshape(ng_in, group * 13)
+    new = jnp.zeros((ng_out, group * 13), payload.dtype).at[dest].set(
+        wide, mode="drop"
+    ).reshape(k, 13)
+    new_i = jax.lax.bitcast_convert_type(new[:, 8:13], jnp.int32)
 
     pool = Pool(
         o=new[:, 0:3],
@@ -306,7 +326,7 @@ def _compact(candidates: Pool, k: int):
         excl_prim=new_i[:, 1],
         excl_face=new_i[:, 2],
         slot=new_i[:, 3],
-        alive=new_alive,
+        alive=new_i[:, 4] != 0,
     )
     return pool, dropped
 
@@ -451,7 +471,7 @@ def trace_whitted(
         )
     elif pad < 0:
         # capacity below 2: compact the level-0 candidates after all
-        cands, drop = _compact(cands, k)
+        cands, drop = _compact(cands, k, cfg.compact_group)
         dropped = dropped + drop
     cands, img, casts = _process_level(
         scene, textures, cfg, cands, img, casts, last=(cfg.depth == 1),
@@ -465,7 +485,7 @@ def trace_whitted(
     # sweeps is waste.  Overflow is counted.
     k2 = max(128, -(-int(n * cfg.deep_capacity) // 128) * 128)
 
-    pool2, drop = _compact(cands, k2)  # level-2 entry compact (4n rows)
+    pool2, drop = _compact(cands, k2, cfg.compact_group)  # level-2 entry
     dropped = dropped + drop
     cands, img, casts = _process_level(
         scene, textures, cfg, pool2, img, casts, last=(cfg.depth == 2),
@@ -476,7 +496,7 @@ def trace_whitted(
 
     # Tail levels (>= 3): live rays have decayed again; narrow once more.
     k3 = max(128, -(-int(n * cfg.tail_capacity) // 128) * 128)
-    pool3, drop = _compact(cands, k3)
+    pool3, drop = _compact(cands, k3, cfg.compact_group)
     dropped = dropped + drop
 
     def level_body(i, state):
@@ -485,7 +505,7 @@ def trace_whitted(
         cands, img, casts = _process_level(
             scene, textures, cfg, pool, img, casts, last, identity_slots=False
         )
-        pool, drop = _compact(cands, k3)
+        pool, drop = _compact(cands, k3, cfg.compact_group)
         dropped = dropped + drop
         return pool, img, casts, dropped
 
