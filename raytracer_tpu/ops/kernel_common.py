@@ -1,0 +1,535 @@
+"""Shared in-kernel building blocks for the fused Pallas tracers.
+
+Everything here operates on ROW layout ([rows, R-lanes], rays on the lane
+dimension) and lowers through Mosaic — in particular no acos/atan2 (absent
+from the TPU lowering; polynomial replacements below), no gathers (one-hot
+masked reduces over the tiny tables instead), no bool-valued selects.
+
+Components:
+  * acos / atan2 polynomials (f32-exact to ~1e-6 rad);
+  * full-attribute nearest-hit sweep: winner + position + shading normal +
+    uv + object id, the in-kernel World::cast (src/main.rs:180-326);
+  * material evaluation incl. procedural textures (materials.rs:33-37,
+    85-103) from a packed per-object table;
+  * direct shading with fused per-light shadow sweeps (src/main.rs:407-464
+    + lights.rs:44-93);
+  * quaternion rotate-from-+z (bump mapping / scatter lobes).
+
+The jnp implementations in ops/{intersect,materials,shade,lights}.py remain
+the semantic reference; tests/test_kernel_common.py compares row-by-row.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracer_tpu.scene.types import FACE_BACK, FACE_FRONT, Scene
+
+_BIG = 3.0e38
+F32_EPS = float(np.finfo(np.float32).eps)
+
+# Material table columns (pack_materials)
+MAT_COLS = 16
+# Light table columns (pack_lights)
+LIGHT_COLS = 16
+
+
+# ---------------------------------------------------------------------------
+# Transcendentals Mosaic lacks
+# ---------------------------------------------------------------------------
+
+
+def acos(x):
+    """acos for f32 rows, |err| < ~1e-6 rad.
+
+    Abramowitz & Stegun 4.4.45-style minimax: acos(|x|) = sqrt(1-|x|) *
+    P7(|x|) on [0, 1], reflected to [-1, 0] via acos(-x) = pi - acos(x).
+    """
+    ax = jnp.clip(jnp.abs(x), 0.0, 1.0)
+    p = jnp.float32(-0.0012624911)
+    p = p * ax + jnp.float32(0.0066700901)
+    p = p * ax - jnp.float32(0.0170881256)
+    p = p * ax + jnp.float32(0.0308918810)
+    p = p * ax - jnp.float32(0.0501743046)
+    p = p * ax + jnp.float32(0.0889789874)
+    p = p * ax - jnp.float32(0.2145988016)
+    p = p * ax + jnp.float32(1.5707963050)
+    pos = jnp.sqrt(jnp.maximum(1.0 - ax, 0.0)) * p
+    return jnp.where(x < 0.0, np.float32(np.pi) - pos, pos)
+
+
+def atan2(y, x):
+    """atan2 for f32 rows, |err| < ~2e-7 rad.
+
+    Octant reduction to t = min/max in [0, 1], odd minimax polynomial of
+    degree 17 for atan(t), then quadrant fixup.  Zero-zero input returns 0
+    like libm's atan2(0, 0).
+    """
+    ax, ay = jnp.abs(x), jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    t = lo / jnp.where(hi > 0.0, hi, 1.0)
+    s = t * t
+    # minimax coefficients for atan on [0, 1] (odd powers)
+    r = jnp.float32(0.0028662257)
+    r = r * s - jnp.float32(0.0161657367)
+    r = r * s + jnp.float32(0.0429096138)
+    r = r * s - jnp.float32(0.0752896400)
+    r = r * s + jnp.float32(0.1065626393)
+    r = r * s - jnp.float32(0.1420889944)
+    r = r * s + jnp.float32(0.1999355085)
+    r = r * s - jnp.float32(0.3333314528)
+    a = t + t * s * r
+    # undo the min/max swap: if |y| > |x|, angle = pi/2 - a
+    a = jnp.where(ay > ax, np.float32(np.pi / 2) - a, a)
+    # quadrant: x < 0 -> pi - a; then sign of y
+    a = jnp.where(x < 0.0, np.float32(np.pi) - a, a)
+    return jnp.where(y < 0.0, -a, a)
+
+
+def powf(base, expo):
+    """base**expo for base >= 0 rows via exp/log; 0**e = 0 (e > 0),
+    matching jnp.power on the shading domain used here."""
+    safe = jnp.maximum(base, 1e-37)
+    r = jnp.exp(expo * jnp.log(safe))
+    return jnp.where(base <= 0.0, 0.0, r)
+
+
+def rotate_from_z(nx, ny, nz, vx, vy, vz):
+    """Apply to v the rotation taking +z onto n (rows; see
+    utils/vec.rotate_from_z for the cgmath Quaternion::from_arc semantics
+    incl. the antiparallel fallback flip)."""
+    qw = 1.0 + nz
+    qx = -ny
+    qy = nx
+    q2 = jnp.maximum(qw * qw + qx * qx + qy * qy, 1e-12)
+    # t = qv x v + w v  (qv = (qx, qy, 0))
+    tx = qy * vz + qw * vx
+    ty = -qx * vz + qw * vy
+    tz = qx * vy - qy * vx + qw * vz
+    # v' = v + (2/|q|^2) qv x t
+    s = 2.0 / q2
+    rx = vx + s * (qy * tz - 0.0 * ty)
+    ry = vy + s * (0.0 * tx - qx * tz)
+    rz = vz + s * (qx * ty - qy * tx)
+    anti = nz < -1.0 + 1e-6
+    rx = jnp.where(anti, -vx, rx)
+    ry = jnp.where(anti, vy, ry)
+    rz = jnp.where(anti, -vz, rz)
+    return rx, ry, rz
+
+
+def normalize3(x, y, z):
+    inv = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, 1e-30))
+    return x * inv, y * inv, z * inv
+
+
+def dot3(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
+
+
+def reflect3(dx, dy, dz, nx, ny, nz):
+    """l - 2 (l.n) n (main.rs:329), normalized like get_reflect's callers."""
+    dn = dot3(dx, dy, dz, nx, ny, nz)
+    return normalize3(dx - 2.0 * dn * nx, dy - 2.0 * dn * ny, dz - 2.0 * dn * nz)
+
+
+def refract3(nx, ny, nz, dx, dy, dz, k):
+    """Snell refraction rows (src/main.rs:344-352) -> (tx, ty, tz, ok);
+    ok=False is total internal reflection."""
+    cos = -(dx * nx + dy * ny + dz * nz)
+    sin2 = 1.0 - cos * cos
+    ok = k * k >= sin2
+    inner = jnp.maximum(1.0 - sin2 / (k * k), 0.0)
+    root = jnp.sqrt(inner)
+    tx = (dx + nx * cos) / k - nx * root
+    ty = (dy + ny * cos) / k - ny * root
+    tz = (dz + nz * cos) / k - nz * root
+    tx, ty, tz = normalize3(tx, ty, tz)
+    return tx, ty, tz, ok
+
+
+# ---------------------------------------------------------------------------
+# Packed tables (host-side prep; shipped as small VMEM operands)
+# ---------------------------------------------------------------------------
+
+
+def pack_materials(scene: Scene) -> jnp.ndarray:
+    """[O, 16] per-object material table: diffuse(0:3), shiness(3),
+    specular(4:7), smoothness(7), transparency(8), refraction(9),
+    decay(10), normal(11:14), tex_id(14), pad(15)."""
+    O = scene.n_obj
+    return jnp.concatenate(
+        [
+            scene.mat_diffuse,
+            scene.mat_shiness[:, None],
+            scene.mat_specular,
+            scene.mat_smoothness[:, None],
+            scene.mat_transparency[:, None],
+            scene.mat_refraction[:, None],
+            scene.mat_decay[:, None],
+            scene.mat_normal,
+            scene.mat_tex[:, None].astype(jnp.float32),
+            jnp.zeros((O, 1), jnp.float32),
+        ],
+        axis=1,
+    ).astype(jnp.float32)
+
+
+def pack_lights(scene: Scene) -> jnp.ndarray:
+    """[L, 16] light table: type(0), origin(1:4), dir(4:7), color(7:10),
+    angle(10), softness(11), has_origin(12), pad(13:16)."""
+    L = scene.n_light
+    return jnp.concatenate(
+        [
+            scene.light_type[:, None].astype(jnp.float32),
+            scene.light_origin,
+            scene.light_dir,
+            scene.light_color,
+            scene.light_angle[:, None],
+            scene.light_softness[:, None],
+            scene.light_has_origin[:, None],
+            jnp.zeros((L, 3), jnp.float32),
+        ],
+        axis=1,
+    ).astype(jnp.float32)
+
+
+def kernel_textures_ok(textures) -> bool:
+    """The fused kernels need row-form texture implementations."""
+    return all(
+        t.diffuse_rows is not None and t.normal_rows is not None
+        for t in textures[1:]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full-attribute nearest sweep (in-kernel World::cast, attrs="full")
+# ---------------------------------------------------------------------------
+
+
+def _excl_crit(excl_face, backface):
+    is_front = excl_face == FACE_FRONT
+    is_back = excl_face == FACE_BACK
+    return (is_front & ~backface) | (is_back & backface) | (~is_front & ~is_back)
+
+
+def full_sweep(o, d, face, excl_prim, excl_face, active, tri, sph,
+               n_tri: int, n_sph: int):
+    """Nearest hit with all attributes, rows layout.
+
+    o/d: 3-tuples of [1,R]; face/excl_prim/excl_face: [1,R] i32;
+    active: [1,R] bool; tri: [T, 34] (intersect_pallas.pack_tri);
+    sph: [S, 8] (pack_sph).
+
+    Returns dict(valid, t, prim, obj, backface, px, py, pz, nx, ny, nz,
+    u, v) — all [1,R]; semantics identical to ops/intersect.cast
+    (face culling 184-188/273-281, exclusion 190-200, inside test 218-227,
+    last-wins tie-break with spheres beating triangles 229-233/298-302,
+    unnormalized flipped triangle normals 248-251, spherical uv 310-313).
+    """
+    ox, oy, oz = o
+    dx, dy, dz = d
+    shape = (1, ox.shape[1])
+    best_t = jnp.full(shape, _BIG, jnp.float32)
+    best_i = jnp.full(shape, -1, jnp.int32)
+    best_bf = jnp.zeros(shape, jnp.int32)
+
+    if n_tri > 0:
+        fn0, fn1, fn2 = tri[:, 0:1], tri[:, 1:2], tri[:, 2:3]
+        dpl = tri[:, 3:4]
+        no_d = fn0 * dx + fn1 * dy + fn2 * dz
+        backface = no_d > 0.0
+        cull = (backface & (face == FACE_FRONT)) | (
+            (~backface) & (face == FACE_BACK)
+        )
+        t = (dpl - (fn0 * ox + fn1 * oy + fn2 * oz)) / no_d
+        prim = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+        excl = (excl_prim == prim) & _excl_crit(excl_face, backface)
+        ok = active & ~cull & ~excl & (t > 0.0)
+        for e in range(3):
+            g0 = tri[:, 4 + 3 * e : 5 + 3 * e]
+            g1 = tri[:, 5 + 3 * e : 6 + 3 * e]
+            g2 = tri[:, 6 + 3 * e : 7 + 3 * e]
+            h = tri[:, 13 + e : 14 + e]
+            og = g0 * ox + g1 * oy + g2 * oz
+            dg = g0 * dx + g1 * dy + g2 * dz
+            ok = ok & (og + h + t * dg >= 0.0)
+        ok = ok & jnp.isfinite(t)
+        tm = jnp.where(ok, t, _BIG)
+        sub = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 0)
+        t_min = jnp.min(tm, axis=0, keepdims=True)
+        win = jnp.max(jnp.where(tm == t_min, sub, -1), axis=0, keepdims=True)
+        bf = jnp.sum(jnp.where((sub == win) & backface, 1, 0), axis=0,
+                     keepdims=True)
+        found = t_min < _BIG
+        best_t = jnp.where(found, t_min, best_t)
+        best_i = jnp.where(found, win, best_i)
+        best_bf = jnp.where(found, bf, best_bf)
+
+    if n_sph > 0:
+        cx, cy, cz, r2 = sph[:, 0:1], sph[:, 1:2], sph[:, 2:3], sph[:, 3:4]
+        wx, wy, wz = cx - ox, cy - oy, cz - oz
+        qx = wy * dz - wz * dy
+        qy = wz * dx - wx * dz
+        qz = wx * dy - wy * dx
+        dist2 = qx * qx + qy * qy + qz * qz
+        tc = dx * wx + dy * wy + dz * wz
+        kk = jnp.sqrt(jnp.maximum(r2 - dist2, 0.0))
+        is_back = face == FACE_BACK
+        is_front = face == FACE_FRONT
+        backface = is_back | (~is_front & ~is_back & (tc < kk))
+        t = jnp.where(backface, tc + kk, tc - kk)
+        prim = n_tri + jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+        excl = (excl_prim == prim) & _excl_crit(excl_face, backface)
+        ok = active & (dist2 <= r2) & (t > 0.0) & ~excl & jnp.isfinite(t)
+        tm = jnp.where(ok, t, _BIG)
+        sub = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 0)
+        t_min = jnp.min(tm, axis=0, keepdims=True)
+        win = jnp.max(jnp.where(tm == t_min, sub, -1), axis=0, keepdims=True)
+        bf = jnp.sum(jnp.where((sub == win) & backface, 1, 0), axis=0,
+                     keepdims=True)
+        # sphere wins exact ties (scanned after triangles, update-on-<=)
+        found = (t_min < _BIG) & (t_min <= best_t)
+        best_t = jnp.where(found, t_min, best_t)
+        best_i = jnp.where(found, n_tri + win, best_i)
+        best_bf = jnp.where(found, bf, best_bf)
+
+    valid = best_t < _BIG
+    t_hit = jnp.where(valid, best_t, 0.0)
+    px = ox + t_hit * dx
+    py = oy + t_hit * dy
+    pz = oz + t_hit * dz
+    bf = best_bf != 0
+
+    nx = jnp.zeros(shape, jnp.float32)
+    ny = jnp.zeros(shape, jnp.float32)
+    nz = jnp.zeros(shape, jnp.float32)
+    u = jnp.zeros(shape, jnp.float32)
+    v = jnp.zeros(shape, jnp.float32)
+    obj = jnp.zeros(shape, jnp.float32)
+
+    if n_tri > 0:
+        sub = jax.lax.broadcasted_iota(jnp.int32, (tri.shape[0], shape[1]), 0)
+        oh = ((sub == best_i) & (best_i >= 0)).astype(jnp.float32)
+
+        def col(c):
+            return jnp.sum(oh * tri[:, c : c + 1], axis=0, keepdims=True)
+
+        area2 = col(31)
+        inv_a2 = 1.0 / jnp.where(area2 != 0.0, area2, 1.0)
+        for e in range(3):
+            gx, gy, gz = col(4 + 3 * e), col(5 + 3 * e), col(6 + 3 * e)
+            h = col(13 + e)
+            bary = (gx * px + gy * py + gz * pz + h) * inv_a2
+            nx = nx + bary * col(16 + 3 * e)
+            ny = ny + bary * col(17 + 3 * e)
+            nz = nz + bary * col(18 + 3 * e)
+            u = u + bary * col(25 + 2 * e)
+            v = v + bary * col(26 + 2 * e)
+        flip = jnp.where(bf, -1.0, 1.0)
+        nx, ny, nz = nx * flip, ny * flip, nz * flip
+        obj = col(32)
+
+    if n_sph > 0:
+        is_sph = best_i >= n_tri if n_tri > 0 else valid
+        sub = jax.lax.broadcasted_iota(jnp.int32, (sph.shape[0], shape[1]), 0)
+        oh = ((sub + n_tri == best_i) & is_sph).astype(jnp.float32)
+
+        def scol(c):
+            return jnp.sum(oh * sph[:, c : c + 1], axis=0, keepdims=True)
+
+        wx = px - scol(0)
+        wy = py - scol(1)
+        wz = pz - scol(2)
+        sx, sy, sz = normalize3(wx, wy, wz)
+        sflip = jnp.where(bf, -1.0, 1.0)
+        sx, sy, sz = sx * sflip, sy * sflip, sz * sflip
+        su = acos(jnp.clip(sy, -1.0, 1.0)) * np.float32(1.0 / np.pi)
+        sv = atan2(sz, sx) * np.float32(0.5 / np.pi) + 0.5
+        nx = jnp.where(is_sph, sx, nx)
+        ny = jnp.where(is_sph, sy, ny)
+        nz = jnp.where(is_sph, sz, nz)
+        u = jnp.where(is_sph, su, u)
+        v = jnp.where(is_sph, sv, v)
+        obj = jnp.where(is_sph, scol(4), obj)
+
+    valid = valid & active
+    return dict(
+        valid=valid,
+        t=jnp.where(valid, best_t, _BIG),
+        prim=best_i,
+        obj=(obj + 0.5).astype(jnp.int32),  # obj >= 0: trunc == round
+        backface=bf & valid,
+        px=px, py=py, pz=pz,
+        nx=nx, ny=ny, nz=nz,
+        u=u, v=v,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Material evaluation (in-kernel eval_material)
+# ---------------------------------------------------------------------------
+
+
+def eval_material(mat, textures, obj, u, v):
+    """Per-lane material sample from the packed [O,16] table + textures.
+
+    obj: [1,R] i32; u/v: [1,R].  Returns a dict of rows mirroring
+    ops/materials.MatSample.  Table lookups are one-hot masked reduces
+    over the (tiny) object axis.
+    """
+    sub = jax.lax.broadcasted_iota(jnp.int32, (mat.shape[0], obj.shape[1]), 0)
+    oh = (sub == obj).astype(jnp.float32)
+
+    def col(c):
+        return jnp.sum(oh * mat[:, c : c + 1], axis=0, keepdims=True)
+
+    out = dict(
+        dr=col(0), dg=col(1), db=col(2),
+        shiness=col(3),
+        sr=col(4), sg=col(5), sb=col(6),
+        smoothness=col(7),
+        transparency=col(8),
+        refraction=col(9),
+        decay=col(10),
+        tnx=col(11), tny=col(12), tnz=col(13),
+    )
+    tex = (col(14) + 0.5).astype(jnp.int32)  # tex >= 0
+    for k in range(1, len(textures)):
+        sel = tex == k
+        tr, tg, tb = textures[k].diffuse_rows(u, v)
+        nxr, nyr, nzr = textures[k].normal_rows(u, v)
+        out["dr"] = jnp.where(sel, tr, out["dr"])
+        out["dg"] = jnp.where(sel, tg, out["dg"])
+        out["db"] = jnp.where(sel, tb, out["db"])
+        out["tnx"] = jnp.where(sel, nxr, out["tnx"])
+        out["tny"] = jnp.where(sel, nyr, out["tny"])
+        out["tnz"] = jnp.where(sel, nzr, out["tnz"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Direct shading (in-kernel get_shade) with fused shadow sweeps
+# ---------------------------------------------------------------------------
+
+
+def _shadow_blocked(px, py, pz, dx, dy, dz, not_self_excl, limit, active,
+                    tri, sph, n_tri: int, n_sph: int):
+    """Back-face any-hit sweep for one light's shadow rays (the reference's
+    nearest-vs-light-distance test is equivalent, src/main.rs:435-448).
+    not_self_excl: [T_or_S-broadcastable] handled via excl id row outside."""
+    blocked = jnp.zeros((1, px.shape[1]), jnp.int32)
+    if n_tri > 0:
+        fn0, fn1, fn2 = tri[:, 0:1], tri[:, 1:2], tri[:, 2:3]
+        dpl = tri[:, 3:4]
+        no_d = fn0 * dx + fn1 * dy + fn2 * dz
+        backface = no_d > 0.0
+        t = (dpl - (fn0 * px + fn1 * py + fn2 * pz)) / no_d
+        prim = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+        ok = backface & (t > 0.0) & (not_self_excl != prim)
+        for e in range(3):
+            g0 = tri[:, 4 + 3 * e : 5 + 3 * e]
+            g1 = tri[:, 5 + 3 * e : 6 + 3 * e]
+            g2 = tri[:, 6 + 3 * e : 7 + 3 * e]
+            h = tri[:, 13 + e : 14 + e]
+            ok = ok & ((g0 * px + g1 * py + g2 * pz) + h
+                       + t * (g0 * dx + g1 * dy + g2 * dz) >= 0.0)
+        ok = ok & active & jnp.isfinite(t) & (t < limit)
+        blocked = blocked | jnp.any(ok, axis=0, keepdims=True).astype(jnp.int32)
+    if n_sph > 0:
+        cx, cy, cz, r2 = sph[:, 0:1], sph[:, 1:2], sph[:, 2:3], sph[:, 3:4]
+        wx, wy, wz = cx - px, cy - py, cz - pz
+        qx = wy * dz - wz * dy
+        qy = wz * dx - wx * dz
+        qz = wx * dy - wy * dx
+        dist2 = qx * qx + qy * qy + qz * qz
+        tc = dx * wx + dy * wy + dz * wz
+        kk = jnp.sqrt(jnp.maximum(r2 - dist2, 0.0))
+        t = tc + kk  # Back rays take the far shell
+        prim = n_tri + jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+        ok = ((dist2 <= r2) & (t > 0.0) & (not_self_excl != prim)
+              & active & jnp.isfinite(t) & (t < limit))
+        blocked = blocked | jnp.any(ok, axis=0, keepdims=True).astype(jnp.int32)
+    return blocked != 0
+
+
+def get_shade(mat_sample, lights, px, py, pz, nax, nay, naz, vdx, vdy, vdz,
+              prim, active, tri, sph, n_tri: int, n_sph: int, n_light: int):
+    """Direct radiance rows at a (bump-adjusted) hit batch.
+
+    mat_sample: eval_material output; lights: packed [L,16] table;
+    (nax,nay,naz): ADJUSTED shading normal; (vdx,vdy,vdz): view = -ray_d.
+    Returns (r, g, b, shadow_count) with shadow_count the per-lane number
+    of shadow rays cast (for the honest cast counters).
+    """
+    r = jnp.zeros((1, px.shape[1]), jnp.float32)
+    g = jnp.zeros_like(r)
+    b = jnp.zeros_like(r)
+    count = jnp.zeros((1, px.shape[1]), jnp.int32)
+
+    m = mat_sample
+    e = 1.0 / (m["smoothness"] + F32_EPS)
+    energy = (e + 8.0) / np.float32(8.0 * np.pi)
+
+    for li in range(n_light):
+        # [1,1] slices broadcast against the [1,R] lane rows
+        lrow = lambda c: lights[li : li + 1, c : c + 1]
+        ltype = lrow(0)
+        LOX, LOY, LOZ = lrow(1), lrow(2), lrow(3)
+        LDX, LDY, LDZ = lrow(4), lrow(5), lrow(6)
+        LCR, LCG, LCB = lrow(7), lrow(8), lrow(9)
+        ANGLE, SOFT = lrow(10), lrow(11)
+        HAS_O = lrow(12)
+
+        # approximate_into_directional (lights.rs:44-93)
+        offx, offy, offz = px - LOX, py - LOY, pz - LOZ
+        mag = jnp.sqrt(offx * offx + offy * offy + offz * offz)
+        inv_mag = 1.0 / jnp.maximum(mag, 1e-30)
+        odx, ody, odz = offx * inv_mag, offy * inv_mag, offz * inv_mag
+        cos_ang = (LDX * offx + LDY * offy + LDZ * offz) * inv_mag
+        angle = jnp.abs(acos(jnp.clip(cos_ang, -1.0, 1.0)))
+        in_cone = angle <= ANGLE
+        ang_att = powf(jnp.maximum(1.0 - angle / jnp.maximum(ANGLE, 1e-30), 0.0),
+                       SOFT + F32_EPS)
+        dist_att = 1.0 / (mag + F32_EPS)
+
+        is_dir = ltype == 0.0  # LIGHT_DIRECTIONAL
+        is_spot = ltype == 1.0  # LIGHT_SPOT
+        att = jnp.where(is_dir, 1.0, jnp.where(is_spot, ang_att * dist_att,
+                                               dist_att))
+        ldx = jnp.where(is_dir, LDX, odx)
+        ldy = jnp.where(is_dir, LDY, ody)
+        ldz = jnp.where(is_dir, LDZ, odz)
+        lvalid = jnp.where(is_spot, in_cone, True)
+
+        cosine = -(ldx * nax + ldy * nay + ldz * naz)
+        consider = active & lvalid & (cosine > 0.0)
+        limit = jnp.where(HAS_O > 0.5, mag, _BIG)
+
+        blocked = _shadow_blocked(px, py, pz, -ldx, -ldy, -ldz, prim, limit,
+                                  consider, tri, sph, n_tri, n_sph)
+        count = count + consider.astype(jnp.int32)
+        lit = consider & ~blocked
+
+        # get_diffuse (materials.rs:46-53): light_dir toward the light
+        lam = cosine  # dot(-ldir, n) == cosine
+        # get_specular (materials.rs:55-66)
+        refx = 2.0 * lam * nax + ldx  # reflect(-ldir about n) = 2 cos n - (-ldir)
+        refy = 2.0 * lam * nay + ldy
+        refz = 2.0 * lam * naz + ldz
+        amount = powf(jnp.maximum(refx * vdx + refy * vdy + refz * vdz, 0.0),
+                      e) * energy
+        # blend: diffuse*(1-shiness) + specular*shiness, each * light color
+        dterm = lam * (1.0 - m["shiness"])
+        sterm = amount * m["shiness"]
+        lr = (m["dr"] * dterm + m["sr"] * sterm) * LCR * att
+        lg = (m["dg"] * dterm + m["sg"] * sterm) * LCG * att
+        lb = (m["db"] * dterm + m["sb"] * sterm) * LCB * att
+        r = r + jnp.where(lit, lr, 0.0)
+        g = g + jnp.where(lit, lg, 0.0)
+        b = b + jnp.where(lit, lb, 0.0)
+
+    return r, g, b, count
