@@ -34,6 +34,7 @@ import numpy as np
 from raytracer_tpu.config import RenderConfig
 from raytracer_tpu.ops import materials as mat_ops
 from raytracer_tpu.ops.intersect import cast
+from raytracer_tpu.ops.kernel_common import kernel_textures_ok
 from raytracer_tpu.ops.shade import get_shade
 from raytracer_tpu.ops.trace import refract_march
 from raytracer_tpu.scene.types import (
@@ -88,6 +89,38 @@ def trace_distributed(
     subnormal / non-finite channel — including all-black misses).
     """
     n = ray_o.shape[0]
+
+    # Pre-draw the 3 per-bounce uniforms with the SAME keys the in-loop
+    # version used (fold_in per step, split 3): the fused kernel and the
+    # jnp path consume identical randomness, so they match lane-for-lane.
+    draws = []
+    for step in range(cfg.depth):
+        kstep = jax.random.fold_in(key, step)
+        k_sel, k_phi, k_theta = jax.random.split(kstep, 3)
+        draws.append(jnp.stack([
+            jax.random.uniform(k_sel, (n,), ray_o.dtype),
+            jax.random.uniform(k_phi, (n,), ray_o.dtype),
+            jax.random.uniform(k_theta, (n,), ray_o.dtype,
+                               minval=-np.pi, maxval=np.pi),
+        ]))
+    unifs = (jnp.stack(draws) if draws
+             else jnp.zeros((0, 3, n), ray_o.dtype))
+
+    from raytracer_tpu.ops.intersect import _pallas_choice
+
+    interp = _pallas_choice()
+    if (interp is not None and scene.bvh_node_min is None
+            and scene.n_prim > 0 and kernel_textures_ok(textures)):
+        from raytracer_tpu.ops import mc_pallas
+
+        photon_raw, casts = mc_pallas.trace(
+            scene, textures, ray_o, ray_d, unifs, cfg.depth,
+            cfg.max_refract_distance, cfg.max_tir_retries, interpret=interp,
+        )
+        ok = jnp.all(vec.is_normal_f32(photon_raw), axis=-1)
+        photon = jnp.where(ok[:, None], photon_raw, 0.0)
+        return MCResult(photon=photon, casts=casts, filtered=jnp.sum(~ok))
+
     casts = jnp.zeros((), jnp.int32)
 
     rays = Rays.primary(ray_o, ray_d)
@@ -114,14 +147,11 @@ def trace_distributed(
         cur_ray_d, cur_ray_face = s["cur_ray_d"], s["cur_ray_face"]
         casts = s["casts"]
 
-        kstep = jax.random.fold_in(key, step)
-        k_sel, k_phi, k_theta = jax.random.split(kstep, 3)
-
         mat = mat_ops.eval_material(scene, textures, cur_obj, cur_uv)
         w0 = (1.0 - mat.shiness) * (1.0 - mat.transparency)
         w1 = mat.shiness * (1.0 - mat.transparency)
         w2 = mat.transparency
-        u = jax.random.uniform(k_sel, (n,), ray_o.dtype)
+        u = unifs[step, 0]
         sel = roulette(u, w0, w1, w2)
 
         # Scatter lobe: diffuse around -normal with exponent 1, glossy
@@ -129,10 +159,8 @@ def trace_distributed(
         # 596).
         exponent = jnp.where(sel == SEL_DIFFUSE, 1.0, mat.smoothness)
         axis = jnp.where((sel == SEL_DIFFUSE)[:, None], -cur_normal, cur_ray_d)
-        u_phi = jax.random.uniform(k_phi, (n,), ray_o.dtype)
-        u_theta = jax.random.uniform(
-            k_theta, (n,), ray_o.dtype, minval=-np.pi, maxval=np.pi
-        )
+        u_phi = unifs[step, 1]
+        u_theta = unifs[step, 2]
         sdir = scatter_direction(u_phi, u_theta, axis, exponent)
 
         cosine = -vec.dot(cur_normal, sdir)
@@ -226,7 +254,8 @@ def trace_distributed(
             casts=casts,
         )
 
-    state = jax.lax.fori_loop(0, cfg.depth, step_body, state)
+    if cfg.depth > 0:  # fori_loop would trace the body against empty unifs
+        state = jax.lax.fori_loop(0, cfg.depth, step_body, state)
 
     # Depth exhausted: surviving paths terminate with shade(self)
     # (main.rs:524-527).

@@ -503,7 +503,8 @@ def get_shade(mat_sample, lights, px, py, pz, nax, nay, naz, vdx, vdy, vdz,
         ldx = jnp.where(is_dir, LDX, odx)
         ldy = jnp.where(is_dir, LDY, ody)
         ldz = jnp.where(is_dir, LDZ, odz)
-        lvalid = jnp.where(is_spot, in_cone, True)
+        # bool algebra, not select (Mosaic rejects i1-truncating selects)
+        lvalid = ~is_spot | in_cone
 
         cosine = -(ldx * nax + ldy * nay + ldz * naz)
         consider = active & lvalid & (cosine > 0.0)
@@ -533,3 +534,188 @@ def get_shade(mat_sample, lights, px, py, pz, nax, nay, naz, vdx, vdy, vdz,
         b = b + jnp.where(lit, lb, 0.0)
 
     return r, g, b, count
+
+
+# ---------------------------------------------------------------------------
+# Interior march (in-kernel get_refract, shared by march/MC/whitted kernels)
+# ---------------------------------------------------------------------------
+
+
+def back_sweep_with_normal(px, py, pz, dx, dy, dz, active, tri, sph,
+                           n_tri: int, n_sph: int):
+    """Back-face nearest sweep + interior shading normal, rows layout.
+
+    Geometry-only specialization of full_sweep for interior (face=Back)
+    rays: exclusion is a provable no-op there (ops/march_pallas.py module
+    docstring), uv/obj are not needed.  Returns (t [1,R] _BIG on miss,
+    prim, hx, hy, hz, nx, ny, nz) with the backface-flipped unnormalized
+    interpolated normal (src/main.rs:248-251, 305-308).
+    """
+    shape = (1, px.shape[1])
+    best_t = jnp.full(shape, _BIG, jnp.float32)
+    best_i = jnp.full(shape, -1, jnp.int32)
+
+    if n_tri > 0:
+        fn0, fn1, fn2 = tri[:, 0:1], tri[:, 1:2], tri[:, 2:3]
+        dpl = tri[:, 3:4]
+        no_d = fn0 * dx + fn1 * dy + fn2 * dz
+        backface = no_d > 0.0  # Back rays only hit backfaces (main.rs:184-188)
+        t = (dpl - (fn0 * px + fn1 * py + fn2 * pz)) / no_d
+        ok = backface & (t > 0.0)
+        for e in range(3):
+            g0 = tri[:, 4 + 3 * e : 5 + 3 * e]
+            g1 = tri[:, 5 + 3 * e : 6 + 3 * e]
+            g2 = tri[:, 6 + 3 * e : 7 + 3 * e]
+            h = tri[:, 13 + e : 14 + e]
+            og = g0 * px + g1 * py + g2 * pz
+            dg = g0 * dx + g1 * dy + g2 * dz
+            ok = ok & (og + h + t * dg >= 0.0)
+        ok = ok & active & jnp.isfinite(t)
+        tm_tri = jnp.where(ok, t, _BIG)
+        sub = jax.lax.broadcasted_iota(jnp.int32, tm_tri.shape, 0)
+        t_min = jnp.min(tm_tri, axis=0, keepdims=True)
+        win = jnp.max(jnp.where(tm_tri == t_min, sub, -1), axis=0, keepdims=True)
+        found = t_min < _BIG
+        best_t = jnp.where(found, t_min, best_t)
+        best_i = jnp.where(found, win, best_i)
+
+    if n_sph > 0:
+        cx, cy, cz, r2 = sph[:, 0:1], sph[:, 1:2], sph[:, 2:3], sph[:, 3:4]
+        wx, wy, wz = cx - px, cy - py, cz - pz
+        qx = wy * dz - wz * dy
+        qy = wz * dx - wx * dz
+        qz = wx * dy - wy * dx
+        dist2 = qx * qx + qy * qy + qz * qz
+        tc = dx * wx + dy * wy + dz * wz
+        kk = jnp.sqrt(jnp.maximum(r2 - dist2, 0.0))
+        t = tc + kk  # Back rays take the far shell (main.rs:273-281)
+        ok = active & (dist2 <= r2) & (t > 0.0) & jnp.isfinite(t)
+        tm = jnp.where(ok, t, _BIG)
+        sub = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 0)
+        t_min = jnp.min(tm, axis=0, keepdims=True)
+        win = jnp.max(jnp.where(tm == t_min, sub, -1), axis=0, keepdims=True)
+        found = (t_min < _BIG) & (t_min <= best_t)
+        best_t = jnp.where(found, t_min, best_t)
+        best_i = jnp.where(found, n_tri + win, best_i)
+
+    hx = px + best_t * dx
+    hy = py + best_t * dy
+    hz = pz + best_t * dz
+
+    nx = jnp.zeros(shape, jnp.float32)
+    ny = jnp.zeros(shape, jnp.float32)
+    nz = jnp.zeros(shape, jnp.float32)
+
+    if n_tri > 0:
+        sub = jax.lax.broadcasted_iota(jnp.int32, (tri.shape[0], shape[1]), 0)
+        oh = ((sub == best_i) & (best_i >= 0)).astype(jnp.float32)
+
+        def col(c):
+            return jnp.sum(oh * tri[:, c : c + 1], axis=0, keepdims=True)
+
+        area2 = col(31)
+        inv_a2 = 1.0 / jnp.where(area2 != 0.0, area2, 1.0)
+        for e in range(3):
+            gx, gy, gz = col(4 + 3 * e), col(5 + 3 * e), col(6 + 3 * e)
+            h = col(13 + e)
+            bary = (gx * hx + gy * hy + gz * hz + h) * inv_a2
+            nx = nx + bary * col(16 + 3 * e)
+            ny = ny + bary * col(17 + 3 * e)
+            nz = nz + bary * col(18 + 3 * e)
+        nx, ny, nz = -nx, -ny, -nz  # backface hit: flipped
+
+    if n_sph > 0:
+        is_sph = best_i >= n_tri if n_tri > 0 else best_i >= 0
+        sub = jax.lax.broadcasted_iota(jnp.int32, (sph.shape[0], shape[1]), 0)
+        oh = ((sub + n_tri == best_i) & is_sph).astype(jnp.float32)
+        scx = jnp.sum(oh * sph[:, 0:1], axis=0, keepdims=True)
+        scy = jnp.sum(oh * sph[:, 1:2], axis=0, keepdims=True)
+        scz = jnp.sum(oh * sph[:, 2:3], axis=0, keepdims=True)
+        wx, wy, wz = hx - scx, hy - scy, hz - scz
+        inv = jax.lax.rsqrt(jnp.maximum(wx * wx + wy * wy + wz * wz, 1e-30))
+        nx = jnp.where(is_sph, -wx * inv, nx)
+        ny = jnp.where(is_sph, -wy * inv, ny)
+        nz = jnp.where(is_sph, -wz * inv, nz)
+
+    return best_t, best_i, hx, hy, hz, nx, ny, nz
+
+
+def march_rows(px, py, pz, nx0, ny0, nz0, dx0, dy0, dz0, k, want, tri, sph,
+               n_tri: int, n_sph: int, max_distance: float, max_retries: int):
+    """Whole get_refract march on rows (src/main.rs:343-405): entry Snell
+    refraction, interior reflective bounce loop (lax.while_loop, bounded by
+    retries and distance budget), exit refraction.
+
+    Returns dict(escaped [1,R] bool, travel, ex, ey, ez (escape origin),
+    odx, ody, odz (escape dir), prim [1,R] i32, iters [1,R] i32 — casts
+    performed, incl. the entry cast).  Misses inside the dielectric
+    (Infinite) and trapped rays yield escaped=False.
+    """
+    shape = (1, px.shape[1])
+    izero = jnp.zeros(shape, jnp.int32)
+
+    rx, ry, rz, ok_in = refract3(nx0, ny0, nz0, dx0, dy0, dz0, k)
+    active0 = want & ok_in  # TIR at entry -> Trapped (main.rs:354-358)
+
+    t, prim, hx, hy, hz, nix, niy, niz = back_sweep_with_normal(
+        px, py, pz, rx, ry, rz, active0, tri, sph, n_tri, n_sph
+    )
+    alive = active0 & (t < _BIG)  # miss -> Infinite -> dead
+    travel = jnp.where(alive, t, 0.0)
+    ox, oy, oz, has_out = refract3(nix, niy, niz, rx, ry, rz, 1.0 / k)
+    has_out = alive & has_out
+
+    # loop carries are i32, not i1 — Mosaic cannot yield bool vectors
+    state = dict(
+        cx=hx, cy=hy, cz=hz, nx=nix, ny=niy, nz=niz,
+        dx=rx, dy=ry, dz=rz, ox=ox, oy=oy, oz=oz,
+        prim=prim, alive=alive.astype(jnp.int32),
+        has_out=has_out.astype(jnp.int32), travel=travel,
+        retry=izero, iters=izero,
+    )
+
+    def pending(s):
+        return (
+            (s["alive"] != 0) & (s["has_out"] == 0)
+            & (s["travel"] <= max_distance) & (s["retry"] < max_retries)
+        )
+
+    def body(s):
+        p = pending(s)
+        # get_reflect on the interior hit (main.rs:380)
+        fx, fy, fz = reflect3(s["dx"], s["dy"], s["dz"],
+                              s["nx"], s["ny"], s["nz"])
+        t2, prim2, hx2, hy2, hz2, nx2, ny2, nz2 = back_sweep_with_normal(
+            s["cx"], s["cy"], s["cz"], fx, fy, fz, p, tri, sph, n_tri, n_sph
+        )
+        step_alive = p & (t2 < _BIG)
+        travel2 = s["travel"] + jnp.where(step_alive, t2, 0.0)
+        ox2, oy2, oz2, ok2 = refract3(nx2, ny2, nz2, fx, fy, fz, 1.0 / k)
+
+        def upd(new, old):
+            return jnp.where(step_alive, new, old)
+
+        return dict(
+            cx=upd(hx2, s["cx"]), cy=upd(hy2, s["cy"]), cz=upd(hz2, s["cz"]),
+            nx=upd(nx2, s["nx"]), ny=upd(ny2, s["ny"]), nz=upd(nz2, s["nz"]),
+            dx=upd(fx, s["dx"]), dy=upd(fy, s["dy"]), dz=upd(fz, s["dz"]),
+            ox=upd(ox2, s["ox"]), oy=upd(oy2, s["oy"]), oz=upd(oz2, s["oz"]),
+            prim=jnp.where(step_alive, prim2, s["prim"]),
+            alive=((p & step_alive) | (~p & (s["alive"] != 0))).astype(jnp.int32),
+            has_out=((step_alive & ok2)
+                     | (~step_alive & (s["has_out"] != 0))).astype(jnp.int32),
+            travel=jnp.where(step_alive, travel2, s["travel"]),
+            retry=s["retry"] + p.astype(jnp.int32),
+            iters=s["iters"] + p.astype(jnp.int32),
+        )
+
+    state = jax.lax.while_loop(lambda s: jnp.any(pending(s)), body, state)
+
+    return dict(
+        escaped=(state["alive"] != 0) & (state["has_out"] != 0),
+        travel=state["travel"],
+        ex=state["cx"], ey=state["cy"], ez=state["cz"],
+        odx=state["ox"], ody=state["oy"], odz=state["oz"],
+        prim=state["prim"],
+        iters=state["iters"] + active0.astype(jnp.int32),
+    )

@@ -1,0 +1,282 @@
+"""Fused Monte-Carlo step kernel: one stochastic epoch bounce-walk per ray,
+entirely inside one Pallas kernel.
+
+The jnp path (ops/distributed.py) runs each bounce of the roulette walk as
+~6 device ops (material eval, lobe, march kernel, advance cast, fused
+shadow kernel, recurrence update) with full-pool HBM traffic between them.
+Here the whole walk — primary cast, `depth` roulette bounces each with its
+interior march and next-hit shading, and the final depth-exhausted shade
+(src/main.rs:521-614, 1150-1156) — runs per 512-ray tile in VMEM.
+
+RNG: the three per-bounce draws (roulette select, lobe phi, lobe theta)
+are precomputed OUTSIDE with the same counter-based jax.random keys the
+jnp path uses and streamed in as a [3*depth, R] operand — so kernel and
+jnp path consume IDENTICAL randomness and their photons match lane for
+lane (tests/test_mc_pallas.py), which a device-side pltpu PRNG could not
+offer (and interpret mode lacks one anyway).  The draw cost is three
+[N]-sized threefry calls per bounce, noise next to the sweeps.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytracer_tpu.ops import kernel_common as kc
+from raytracer_tpu.ops.intersect_pallas import TILE_R, pack_sph, pack_tri
+from raytracer_tpu.scene.types import FACE_BACK, FACE_FRONT, Scene
+
+_BIG = kc._BIG
+
+
+def _mc_kernel(o_ref, d_ref, unif_ref, tri_ref, sph_ref, mat_ref, light_ref,
+               photon_ref, casts_ref, *, n_tri: int, n_sph: int,
+               n_light: int, depth: int, max_distance: float,
+               max_retries: int, textures):
+    o = (o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :])
+    d = (d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :])
+    tri = tri_ref[:, :]
+    sph = sph_ref[:, :]
+    mat_t = mat_ref[:, :]
+    lights = light_ref[:, :]
+    shape = (1, o[0].shape[1])
+    front = jnp.zeros(shape, jnp.int32)
+    no_excl = jnp.full(shape, -1, jnp.int32)
+
+    # primary cast (main.rs:1150)
+    h = kc.full_sweep(o, d, front, no_excl, front, jnp.ones(shape, bool),
+                      tri, sph, n_tri, n_sph)
+    alive = h["valid"]
+    casts = jnp.ones(shape, jnp.int32)
+
+    ar = jnp.zeros(shape, jnp.float32)
+    ag = jnp.zeros(shape, jnp.float32)
+    ab = jnp.zeros(shape, jnp.float32)
+    sr = jnp.ones(shape, jnp.float32)
+    sg = jnp.ones(shape, jnp.float32)
+    sb = jnp.ones(shape, jnp.float32)
+
+    cpx, cpy, cpz = h["px"], h["py"], h["pz"]
+    cnx, cny, cnz = h["nx"], h["ny"], h["nz"]
+    cu, cv = h["u"], h["v"]
+    cprim, cobj, cback = h["prim"], h["obj"], h["backface"]
+    cdx, cdy, cdz = d
+
+    for step in range(depth):
+        u_sel = unif_ref[3 * step : 3 * step + 1, :]
+        u_phi = unif_ref[3 * step + 1 : 3 * step + 2, :]
+        theta = unif_ref[3 * step + 2 : 3 * step + 3, :]
+
+        m = kc.eval_material(mat_t, textures, cobj, cu, cv)
+        w0 = (1.0 - m["shiness"]) * (1.0 - m["transparency"])
+        w1 = m["shiness"] * (1.0 - m["transparency"])
+        w2 = m["transparency"]
+        r = u_sel * (w0 + w1 + w2)  # weighted_select (main.rs:652-666)
+        sel_d = r < w0
+        sel_r = ~sel_d & (r < w0 + w1)
+        sel_f = ~sel_d & ~sel_r
+
+        # scatter_hit lobe (main.rs:539-554): diffuse around -normal exp 1,
+        # glossy around the incoming direction exp smoothness (558/577/596)
+        expo = jnp.where(sel_d, 1.0, m["smoothness"])
+        axx = jnp.where(sel_d, -cnx, cdx)
+        axy = jnp.where(sel_d, -cny, cdy)
+        axz = jnp.where(sel_d, -cnz, cdz)
+        axx, axy, axz = kc.normalize3(axx, axy, axz)
+        phi = kc.acos(kc.powf(1.0 - u_phi, expo))
+        sp = jnp.sin(phi)
+        lx = sp * jnp.cos(theta)
+        ly = sp * jnp.sin(theta)
+        lz = jnp.cos(phi)
+        sdx, sdy, sdz = kc.rotate_from_z(axx, axy, axz, lx, ly, lz)
+
+        cosine = -(cnx * sdx + cny * sdy + cnz * sdz)
+        live = alive & (cosine > 0.0)  # main.rs:560/579/598
+
+        fx, fy, fz = kc.reflect3(sdx, sdy, sdz, cnx, cny, cnz)
+        excl_face_r = jnp.where(cback, FACE_FRONT, FACE_BACK)
+
+        want_f = live & sel_f
+        mm = kc.march_rows(cpx, cpy, cpz, cnx, cny, cnz, sdx, sdy, sdz,
+                           m["refraction"], want_f, tri, sph, n_tri, n_sph,
+                           max_distance, max_retries)
+        casts = casts + mm["iters"]
+
+        adv_ox = jnp.where(sel_f, mm["ex"], cpx)
+        adv_oy = jnp.where(sel_f, mm["ey"], cpy)
+        adv_oz = jnp.where(sel_f, mm["ez"], cpz)
+        adv_dx = jnp.where(sel_f, mm["odx"], fx)
+        adv_dy = jnp.where(sel_f, mm["ody"], fy)
+        adv_dz = jnp.where(sel_f, mm["odz"], fz)
+        adv_excl_prim = jnp.where(sel_f, mm["prim"], cprim)
+        adv_excl_face = jnp.where(sel_f, FACE_BACK, excl_face_r)
+        adv_active = live & (~sel_f | mm["escaped"])
+
+        nxt = kc.full_sweep(
+            (adv_ox, adv_oy, adv_oz), (adv_dx, adv_dy, adv_dz),
+            front, adv_excl_prim, adv_excl_face, adv_active,
+            tri, sph, n_tri, n_sph,
+        )
+        casts = casts + adv_active.astype(jnp.int32)
+        use_next = nxt["valid"]
+
+        # merged shade: next hit where the advance cast hit, else the
+        # scattered self-shade (miss terminals 571-573/590-592); refract
+        # lanes whose escape cast missed contribute black (607)
+        s_px = jnp.where(use_next, nxt["px"], cpx)
+        s_py = jnp.where(use_next, nxt["py"], cpy)
+        s_pz = jnp.where(use_next, nxt["pz"], cpz)
+        s_nx = jnp.where(use_next, nxt["nx"], cnx)
+        s_ny = jnp.where(use_next, nxt["ny"], cny)
+        s_nz = jnp.where(use_next, nxt["nz"], cnz)
+        s_u = jnp.where(use_next, nxt["u"], cu)
+        s_v = jnp.where(use_next, nxt["v"], cv)
+        s_prim = jnp.where(use_next, nxt["prim"], cprim)
+        s_obj = jnp.where(use_next, nxt["obj"], cobj)
+        s_rdx = jnp.where(use_next, adv_dx, sdx)
+        s_rdy = jnp.where(use_next, adv_dy, sdy)
+        s_rdz = jnp.where(use_next, adv_dz, sdz)
+        need_shade = adv_active & (use_next | ~sel_f)
+
+        m2 = kc.eval_material(mat_t, textures, s_obj, s_u, s_v)
+        nax, nay, naz = kc.rotate_from_z(s_nx, s_ny, s_nz,
+                                         m2["tnx"], m2["tny"], m2["tnz"])
+        shr, shg, shb, cnt = kc.get_shade(
+            m2, lights, s_px, s_py, s_pz, nax, nay, naz,
+            -s_rdx, -s_rdy, -s_rdz, s_prim, need_shade,
+            tri, sph, n_tri, n_sph, n_light,
+        )
+        casts = casts + cnt
+
+        # BRDF against the unadjusted hit normal (566-570/585-589)
+        lam = fx * cnx + fy * cny + fz * cnz
+        pos_lam = lam > 0.0
+        bdr = jnp.where(pos_lam, m["dr"] * lam, 0.0)
+        bdg = jnp.where(pos_lam, m["dg"] * lam, 0.0)
+        bdb = jnp.where(pos_lam, m["db"] * lam, 0.0)
+        e = 1.0 / (m["smoothness"] + kc.F32_EPS)
+        energy = (e + 8.0) / np.float32(8.0 * np.pi)
+        rfx = 2.0 * lam * cnx - fx
+        rfy = 2.0 * lam * cny - fy
+        rfz = 2.0 * lam * cnz - fz
+        amount = kc.powf(
+            jnp.maximum(-(rfx * cdx + rfy * cdy + rfz * cdz), 0.0), e
+        ) * energy
+        bsr = jnp.where(pos_lam, m["sr"] * amount, 0.0)
+        bsg = jnp.where(pos_lam, m["sg"] * amount, 0.0)
+        bsb = jnp.where(pos_lam, m["sb"] * amount, 0.0)
+        brr = jnp.where(sel_d, bdr, bsr)
+        brg = jnp.where(sel_d, bdg, bsg)
+        brb = jnp.where(sel_d, bdb, bsb)
+        decay = kc.powf(m["decay"], mm["travel"])
+
+        half = jnp.float32(0.5)
+        is_rb = ~sel_f  # diffuse / reflect branch
+        hit_scale = jnp.where(use_next, half, 1.0)
+        Ar = jnp.where(is_rb, hit_scale * shr, decay * shr)
+        Ag = jnp.where(is_rb, hit_scale * shg, decay * shg)
+        Ab = jnp.where(is_rb, hit_scale * shb, decay * shb)
+        B_base = jnp.where(use_next, half, 0.0)
+        Br = jnp.where(is_rb, B_base * brr, decay)
+        Bg = jnp.where(is_rb, B_base * brg, decay)
+        Bb = jnp.where(is_rb, B_base * brb, decay)
+
+        ns = need_shade
+        ar = ar + jnp.where(ns, sr * Ar, 0.0)
+        ag = ag + jnp.where(ns, sg * Ag, 0.0)
+        ab = ab + jnp.where(ns, sb * Ab, 0.0)
+        aa = adv_active
+        sr = sr * jnp.where(aa, Br, 0.0)
+        sg = sg * jnp.where(aa, Bg, 0.0)
+        sb = sb * jnp.where(aa, Bb, 0.0)
+
+        alive = adv_active & use_next
+        cpx, cpy, cpz = nxt["px"], nxt["py"], nxt["pz"]
+        cnx, cny, cnz = nxt["nx"], nxt["ny"], nxt["nz"]
+        cu, cv = nxt["u"], nxt["v"]
+        cprim, cobj, cback = nxt["prim"], nxt["obj"], nxt["backface"]
+        cdx, cdy, cdz = adv_dx, adv_dy, adv_dz
+
+    # depth exhausted: terminate with shade(self) (main.rs:524-527)
+    m3 = kc.eval_material(mat_t, textures, cobj, cu, cv)
+    nax, nay, naz = kc.rotate_from_z(cnx, cny, cnz,
+                                     m3["tnx"], m3["tny"], m3["tnz"])
+    shr, shg, shb, cnt = kc.get_shade(
+        m3, lights, cpx, cpy, cpz, nax, nay, naz, -cdx, -cdy, -cdz,
+        cprim, alive, tri, sph, n_tri, n_sph, n_light,
+    )
+    casts = casts + cnt
+    ar = ar + jnp.where(alive, sr * shr, 0.0)
+    ag = ag + jnp.where(alive, sg * shg, 0.0)
+    ab = ab + jnp.where(alive, sb * shb, 0.0)
+
+    photon_ref[0:1, :] = ar
+    photon_ref[1:2, :] = ag
+    photon_ref[2:3, :] = ab
+    casts_ref[:, :] = casts
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("textures", "depth", "max_distance", "max_retries",
+                     "interpret"),
+)
+def trace(scene: Scene, textures, ray_o, ray_d, unifs, depth: int,
+          max_distance: float, max_retries: int, interpret: bool = False):
+    """One MC sample per primary ray, fused.
+
+    unifs: [depth, 3, N] f32 — (roulette u, lobe u_phi, lobe theta) per
+    bounce, generated by the caller (ops/distributed.py) with the same keys
+    as the jnp path.  Returns (photon [N, 3] UNfiltered, casts scalar).
+    """
+    n = ray_o.shape[0]
+    tile = min(TILE_R, max(128, -(-n // 128) * 128))
+    n_pad = (-n) % tile
+    grid = (n + n_pad) // tile
+
+    def prep(x):
+        x = x.T if x.ndim == 2 else x[None, :]
+        return jnp.pad(x, [(0, 0), (0, n_pad)]) if n_pad else x
+
+    o_t = prep(ray_o)
+    d_t = prep(ray_d)
+    if depth > 0:  # already row-layout [3*depth, N]; pad lanes only
+        u_t = unifs.reshape(3 * depth, n)
+        if n_pad:
+            u_t = jnp.pad(u_t, [(0, 0), (0, n_pad)])
+    else:  # degenerate: block specs need >= 1 row
+        u_t = jnp.zeros((1, o_t.shape[1]), jnp.float32)
+    tri = pack_tri(scene) if scene.n_tri > 0 else jnp.zeros((8, 34), jnp.float32)
+    sph = pack_sph(scene) if scene.n_sph > 0 else jnp.zeros((8, 8), jnp.float32)
+    mat_t = kc.pack_materials(scene)
+    lights = kc.pack_lights(scene)
+
+    kernel = functools.partial(
+        _mc_kernel, n_tri=scene.n_tri, n_sph=scene.n_sph,
+        n_light=scene.n_light, depth=depth, max_distance=max_distance,
+        max_retries=max_retries, textures=textures,
+    )
+    row = lambda r: pl.BlockSpec((r, tile), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM)
+    const = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)
+    npad = o_t.shape[1]
+    photon, casts = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[row(3), row(3), row(u_t.shape[0]),
+                  const(tri), const(sph), const(mat_t), const(lights)],
+        out_specs=[row(3), row(1)],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, npad), jnp.float32),
+            jax.ShapeDtypeStruct((1, npad), jnp.int32),
+        ],
+        interpret=interpret,
+    )(o_t, d_t, u_t, tri, sph, mat_t, lights)
+
+    return photon[:, :n].T, jnp.sum(casts[0, :n])
