@@ -197,6 +197,20 @@ def pack_lights(scene: Scene) -> jnp.ndarray:
     ).astype(jnp.float32)
 
 
+def matmul_cols(table_T, onehot):
+    """All table columns of each lane's winner at once: [C, T] x [T, R] on
+    the MXU.  The one-hot has a single unit lane per column, so the
+    contraction is EXACT (bit-identical to a masked reduce) while costing
+    one MXU pass instead of C VPU column reduces."""
+    return jax.lax.dot_general(
+        table_T, onehot, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        # full f32: the TPU default truncates inputs to bf16, which would
+        # corrupt the table side (the one-hot side is exact either way)
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def kernel_textures_ok(textures) -> bool:
     """The fused kernels need row-form texture implementations."""
     return all(
@@ -217,7 +231,7 @@ def _excl_crit(excl_face, backface):
 
 
 def full_sweep(o, d, face, excl_prim, excl_face, active, tri, sph,
-               n_tri: int, n_sph: int):
+               n_tri: int, n_sph: int, tri_T=None):
     """Nearest hit with all attributes, rows layout.
 
     o/d: 3-tuples of [1,R]; face/excl_prim/excl_face: [1,R] i32;
@@ -315,8 +329,12 @@ def full_sweep(o, d, face, excl_prim, excl_face, active, tri, sph,
         sub = jax.lax.broadcasted_iota(jnp.int32, (tri.shape[0], shape[1]), 0)
         oh = ((sub == best_i) & (best_i >= 0)).astype(jnp.float32)
 
-        def col(c):
-            return jnp.sum(oh * tri[:, c : c + 1], axis=0, keepdims=True)
+        if tri_T is not None:  # winner attrs via ONE MXU pass (exact)
+            cols = matmul_cols(tri_T, oh)
+            col = lambda c: cols[c : c + 1, :]
+        else:
+            def col(c):
+                return jnp.sum(oh * tri[:, c : c + 1], axis=0, keepdims=True)
 
         area2 = col(31)
         inv_a2 = 1.0 / jnp.where(area2 != 0.0, area2, 1.0)
@@ -374,18 +392,22 @@ def full_sweep(o, d, face, excl_prim, excl_face, active, tri, sph,
 # ---------------------------------------------------------------------------
 
 
-def eval_material(mat, textures, obj, u, v):
+def eval_material(mat, textures, obj, u, v, mat_T=None):
     """Per-lane material sample from the packed [O,16] table + textures.
 
     obj: [1,R] i32; u/v: [1,R].  Returns a dict of rows mirroring
-    ops/materials.MatSample.  Table lookups are one-hot masked reduces
-    over the (tiny) object axis.
+    ops/materials.MatSample.  Table lookups are one MXU one-hot pass when
+    the transposed table is supplied, else masked reduces.
     """
     sub = jax.lax.broadcasted_iota(jnp.int32, (mat.shape[0], obj.shape[1]), 0)
     oh = (sub == obj).astype(jnp.float32)
 
-    def col(c):
-        return jnp.sum(oh * mat[:, c : c + 1], axis=0, keepdims=True)
+    if mat_T is not None:
+        cols = matmul_cols(mat_T, oh)
+        col = lambda c: cols[c : c + 1, :]
+    else:
+        def col(c):
+            return jnp.sum(oh * mat[:, c : c + 1], axis=0, keepdims=True)
 
     out = dict(
         dr=col(0), dg=col(1), db=col(2),
@@ -542,7 +564,7 @@ def get_shade(mat_sample, lights, px, py, pz, nax, nay, naz, vdx, vdy, vdz,
 
 
 def back_sweep_with_normal(px, py, pz, dx, dy, dz, active, tri, sph,
-                           n_tri: int, n_sph: int):
+                           n_tri: int, n_sph: int, tri_T=None):
     """Back-face nearest sweep + interior shading normal, rows layout.
 
     Geometry-only specialization of full_sweep for interior (face=Back)
@@ -610,8 +632,12 @@ def back_sweep_with_normal(px, py, pz, dx, dy, dz, active, tri, sph,
         sub = jax.lax.broadcasted_iota(jnp.int32, (tri.shape[0], shape[1]), 0)
         oh = ((sub == best_i) & (best_i >= 0)).astype(jnp.float32)
 
-        def col(c):
-            return jnp.sum(oh * tri[:, c : c + 1], axis=0, keepdims=True)
+        if tri_T is not None:  # winner attrs via ONE MXU pass (exact)
+            cols = matmul_cols(tri_T, oh)
+            col = lambda c: cols[c : c + 1, :]
+        else:
+            def col(c):
+                return jnp.sum(oh * tri[:, c : c + 1], axis=0, keepdims=True)
 
         area2 = col(31)
         inv_a2 = 1.0 / jnp.where(area2 != 0.0, area2, 1.0)
@@ -641,7 +667,8 @@ def back_sweep_with_normal(px, py, pz, dx, dy, dz, active, tri, sph,
 
 
 def march_rows(px, py, pz, nx0, ny0, nz0, dx0, dy0, dz0, k, want, tri, sph,
-               n_tri: int, n_sph: int, max_distance: float, max_retries: int):
+               n_tri: int, n_sph: int, max_distance: float, max_retries: int,
+               tri_T=None):
     """Whole get_refract march on rows (src/main.rs:343-405): entry Snell
     refraction, interior reflective bounce loop (lax.while_loop, bounded by
     retries and distance budget), exit refraction.
@@ -658,7 +685,7 @@ def march_rows(px, py, pz, nx0, ny0, nz0, dx0, dy0, dz0, k, want, tri, sph,
     active0 = want & ok_in  # TIR at entry -> Trapped (main.rs:354-358)
 
     t, prim, hx, hy, hz, nix, niy, niz = back_sweep_with_normal(
-        px, py, pz, rx, ry, rz, active0, tri, sph, n_tri, n_sph
+        px, py, pz, rx, ry, rz, active0, tri, sph, n_tri, n_sph, tri_T
     )
     alive = active0 & (t < _BIG)  # miss -> Infinite -> dead
     travel = jnp.where(alive, t, 0.0)
@@ -686,7 +713,8 @@ def march_rows(px, py, pz, nx0, ny0, nz0, dx0, dy0, dz0, k, want, tri, sph,
         fx, fy, fz = reflect3(s["dx"], s["dy"], s["dz"],
                               s["nx"], s["ny"], s["nz"])
         t2, prim2, hx2, hy2, hz2, nx2, ny2, nz2 = back_sweep_with_normal(
-            s["cx"], s["cy"], s["cz"], fx, fy, fz, p, tri, sph, n_tri, n_sph
+            s["cx"], s["cy"], s["cz"], fx, fy, fz, p, tri, sph, n_tri,
+            n_sph, tri_T
         )
         step_alive = p & (t2 < _BIG)
         travel2 = s["travel"] + jnp.where(step_alive, t2, 0.0)

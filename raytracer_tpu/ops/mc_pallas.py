@@ -34,15 +34,18 @@ from raytracer_tpu.scene.types import FACE_BACK, FACE_FRONT, Scene
 _BIG = kc._BIG
 
 
-def _mc_kernel(o_ref, d_ref, unif_ref, tri_ref, sph_ref, mat_ref, light_ref,
+def _mc_kernel(o_ref, d_ref, unif_ref, tri_ref, tri_T_ref, sph_ref,
+               mat_ref, mat_T_ref, light_ref,
                photon_ref, casts_ref, *, n_tri: int, n_sph: int,
                n_light: int, depth: int, max_distance: float,
                max_retries: int, textures):
     o = (o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :])
     d = (d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :])
     tri = tri_ref[:, :]
+    tri_T = tri_T_ref[:, :]
     sph = sph_ref[:, :]
     mat_t = mat_ref[:, :]
+    mat_T = mat_T_ref[:, :]
     lights = light_ref[:, :]
     shape = (1, o[0].shape[1])
     front = jnp.zeros(shape, jnp.int32)
@@ -50,7 +53,7 @@ def _mc_kernel(o_ref, d_ref, unif_ref, tri_ref, sph_ref, mat_ref, light_ref,
 
     # primary cast (main.rs:1150)
     h = kc.full_sweep(o, d, front, no_excl, front, jnp.ones(shape, bool),
-                      tri, sph, n_tri, n_sph)
+                      tri, sph, n_tri, n_sph, tri_T)
     alive = h["valid"]
     casts = jnp.ones(shape, jnp.int32)
 
@@ -72,7 +75,7 @@ def _mc_kernel(o_ref, d_ref, unif_ref, tri_ref, sph_ref, mat_ref, light_ref,
         u_phi = unif_ref[3 * step + 1 : 3 * step + 2, :]
         theta = unif_ref[3 * step + 2 : 3 * step + 3, :]
 
-        m = kc.eval_material(mat_t, textures, cobj, cu, cv)
+        m = kc.eval_material(mat_t, textures, cobj, cu, cv, mat_T)
         w0 = (1.0 - m["shiness"]) * (1.0 - m["transparency"])
         w1 = m["shiness"] * (1.0 - m["transparency"])
         w2 = m["transparency"]
@@ -104,7 +107,7 @@ def _mc_kernel(o_ref, d_ref, unif_ref, tri_ref, sph_ref, mat_ref, light_ref,
         want_f = live & sel_f
         mm = kc.march_rows(cpx, cpy, cpz, cnx, cny, cnz, sdx, sdy, sdz,
                            m["refraction"], want_f, tri, sph, n_tri, n_sph,
-                           max_distance, max_retries)
+                           max_distance, max_retries, tri_T)
         casts = casts + mm["iters"]
 
         adv_ox = jnp.where(sel_f, mm["ex"], cpx)
@@ -120,7 +123,7 @@ def _mc_kernel(o_ref, d_ref, unif_ref, tri_ref, sph_ref, mat_ref, light_ref,
         nxt = kc.full_sweep(
             (adv_ox, adv_oy, adv_oz), (adv_dx, adv_dy, adv_dz),
             front, adv_excl_prim, adv_excl_face, adv_active,
-            tri, sph, n_tri, n_sph,
+            tri, sph, n_tri, n_sph, tri_T,
         )
         casts = casts + adv_active.astype(jnp.int32)
         use_next = nxt["valid"]
@@ -143,7 +146,7 @@ def _mc_kernel(o_ref, d_ref, unif_ref, tri_ref, sph_ref, mat_ref, light_ref,
         s_rdz = jnp.where(use_next, adv_dz, sdz)
         need_shade = adv_active & (use_next | ~sel_f)
 
-        m2 = kc.eval_material(mat_t, textures, s_obj, s_u, s_v)
+        m2 = kc.eval_material(mat_t, textures, s_obj, s_u, s_v, mat_T)
         nax, nay, naz = kc.rotate_from_z(s_nx, s_ny, s_nz,
                                          m2["tnx"], m2["tny"], m2["tnz"])
         shr, shg, shb, cnt = kc.get_shade(
@@ -203,7 +206,7 @@ def _mc_kernel(o_ref, d_ref, unif_ref, tri_ref, sph_ref, mat_ref, light_ref,
         cdx, cdy, cdz = adv_dx, adv_dy, adv_dz
 
     # depth exhausted: terminate with shade(self) (main.rs:524-527)
-    m3 = kc.eval_material(mat_t, textures, cobj, cu, cv)
+    m3 = kc.eval_material(mat_t, textures, cobj, cu, cv, mat_T)
     nax, nay, naz = kc.rotate_from_z(cnx, cny, cnz,
                                      m3["tnx"], m3["tny"], m3["tnz"])
     shr, shg, shb, cnt = kc.get_shade(
@@ -252,8 +255,10 @@ def trace(scene: Scene, textures, ray_o, ray_d, unifs, depth: int,
     else:  # degenerate: block specs need >= 1 row
         u_t = jnp.zeros((1, o_t.shape[1]), jnp.float32)
     tri = pack_tri(scene) if scene.n_tri > 0 else jnp.zeros((8, 34), jnp.float32)
+    tri_T = tri.T
     sph = pack_sph(scene) if scene.n_sph > 0 else jnp.zeros((8, 8), jnp.float32)
     mat_t = kc.pack_materials(scene)
+    mat_T = mat_t.T
     lights = kc.pack_lights(scene)
 
     kernel = functools.partial(
@@ -270,13 +275,14 @@ def trace(scene: Scene, textures, ray_o, ray_d, unifs, depth: int,
         kernel,
         grid=(grid,),
         in_specs=[row(3), row(3), row(u_t.shape[0]),
-                  const(tri), const(sph), const(mat_t), const(lights)],
+                  const(tri), const(tri_T), const(sph), const(mat_t),
+                  const(mat_T), const(lights)],
         out_specs=[row(3), row(1)],
         out_shape=[
             jax.ShapeDtypeStruct((3, npad), jnp.float32),
             jax.ShapeDtypeStruct((1, npad), jnp.int32),
         ],
         interpret=interpret,
-    )(o_t, d_t, u_t, tri, sph, mat_t, lights)
+    )(o_t, d_t, u_t, tri, tri_T, sph, mat_t, mat_T, lights)
 
     return photon[:, :n].T, jnp.sum(casts[0, :n])

@@ -352,6 +352,36 @@ def _process_level(scene, textures, cfg, pool: Pool, img, casts, last,
     width = pool.o.shape[0]
     last = jnp.asarray(last, bool)  # python bool's ~ is integer bitwise-not
 
+    from raytracer_tpu.ops.intersect import _pallas_choice
+    from raytracer_tpu.ops.kernel_common import kernel_textures_ok
+
+    interp = _pallas_choice()
+    if (interp is not None and scene.bvh_node_min is None
+            and scene.n_prim > 0 and kernel_textures_ok(textures)):
+        # Fused path: the whole level (cast + shade + shadow sweeps + march
+        # + child emission) is one Pallas launch (ops/level_pallas.py).
+        from raytracer_tpu.ops import level_pallas
+
+        contrib, ch_r, ch_f, lvl_casts = level_pallas.process_level(
+            scene, textures, pool.o, pool.d, pool.face, pool.excl_prim,
+            pool.excl_face, pool.slot, pool.c, pool.s, pool.alive, last,
+            cfg.threshold, cfg.max_refract_distance, cfg.max_tir_retries,
+            interpret=interp,
+        )
+        casts = casts + lvl_casts
+        if identity_slots == "doubled":
+            half = img.shape[0]
+            img = img + contrib[:half] + contrib[half : 2 * half]
+        elif identity_slots:
+            img = img + contrib
+        else:
+            img = img.at[pool.slot].add(contrib)
+        candidates = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=0),
+            Pool(**ch_r), Pool(**ch_f),
+        )
+        return candidates, img, casts
+
     hits = cast(scene, pool.rays(), active=pool.alive)
     casts = casts + jnp.sum(pool.alive)
     live = pool.alive & hits.valid
