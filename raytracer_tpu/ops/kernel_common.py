@@ -438,44 +438,70 @@ def eval_material(mat, textures, obj, u, v, mat_T=None):
 # ---------------------------------------------------------------------------
 
 
-def _shadow_blocked(px, py, pz, dx, dy, dz, not_self_excl, limit, active,
-                    tri, sph, n_tri: int, n_sph: int):
-    """Back-face any-hit sweep for one light's shadow rays (the reference's
-    nearest-vs-light-distance test is equivalent, src/main.rs:435-448).
-    not_self_excl: [T_or_S-broadcastable] handled via excl id row outside."""
-    blocked = jnp.zeros((1, px.shape[1]), jnp.int32)
-    if n_tri > 0:
-        fn0, fn1, fn2 = tri[:, 0:1], tri[:, 1:2], tri[:, 2:3]
-        dpl = tri[:, 3:4]
-        no_d = fn0 * dx + fn1 * dy + fn2 * dz
-        backface = no_d > 0.0
-        t = (dpl - (fn0 * px + fn1 * py + fn2 * pz)) / no_d
-        prim = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
-        ok = backface & (t > 0.0) & (not_self_excl != prim)
-        for e in range(3):
-            g0 = tri[:, 4 + 3 * e : 5 + 3 * e]
-            g1 = tri[:, 5 + 3 * e : 6 + 3 * e]
-            g2 = tri[:, 6 + 3 * e : 7 + 3 * e]
-            h = tri[:, 13 + e : 14 + e]
-            ok = ok & ((g0 * px + g1 * py + g2 * pz) + h
-                       + t * (g0 * dx + g1 * dy + g2 * dz) >= 0.0)
-        ok = ok & active & jnp.isfinite(t) & (t < limit)
-        blocked = blocked | jnp.any(ok, axis=0, keepdims=True).astype(jnp.int32)
-    if n_sph > 0:
-        cx, cy, cz, r2 = sph[:, 0:1], sph[:, 1:2], sph[:, 2:3], sph[:, 3:4]
-        wx, wy, wz = cx - px, cy - py, cz - pz
-        qx = wy * dz - wz * dy
-        qy = wz * dx - wx * dz
-        qz = wx * dy - wy * dx
-        dist2 = qx * qx + qy * qy + qz * qz
-        tc = dx * wx + dy * wy + dz * wz
-        kk = jnp.sqrt(jnp.maximum(r2 - dist2, 0.0))
-        t = tc + kk  # Back rays take the far shell
-        prim = n_tri + jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
-        ok = ((dist2 <= r2) & (t > 0.0) & (not_self_excl != prim)
-              & active & jnp.isfinite(t) & (t < limit))
-        blocked = blocked | jnp.any(ok, axis=0, keepdims=True).astype(jnp.int32)
-    return blocked != 0
+class _ShadowSweep:
+    """Per-hit-batch shadow sweeps: shadow rays of every light share their
+    origin (the shading point), so the origin-dependent plane/edge/sphere
+    terms are computed ONCE here and reused per light (the reference's
+    nearest-vs-light-distance test is equivalent to this any-hit form,
+    src/main.rs:435-448)."""
+
+    def __init__(self, px, py, pz, not_self_excl, tri, sph,
+                 n_tri: int, n_sph: int):
+        self.px, self.py, self.pz = px, py, pz
+        self.tri, self.sph = tri, sph
+        self.n_tri, self.n_sph = n_tri, n_sph
+        if n_tri > 0:
+            fn0, fn1, fn2 = tri[:, 0:1], tri[:, 1:2], tri[:, 2:3]
+            self.o_fn = fn0 * px + fn1 * py + fn2 * pz
+            self.og = []
+            for e in range(3):
+                g0 = tri[:, 4 + 3 * e : 5 + 3 * e]
+                g1 = tri[:, 5 + 3 * e : 6 + 3 * e]
+                g2 = tri[:, 6 + 3 * e : 7 + 3 * e]
+                self.og.append(g0 * px + g1 * py + g2 * pz)
+            prim = jax.lax.broadcasted_iota(jnp.int32, self.o_fn.shape, 0)
+            self.not_self_tri = not_self_excl != prim
+        if n_sph > 0:
+            cx, cy, cz = sph[:, 0:1], sph[:, 1:2], sph[:, 2:3]
+            self.wx, self.wy, self.wz = cx - px, cy - py, cz - pz
+            prim = n_tri + jax.lax.broadcasted_iota(
+                jnp.int32, self.wx.shape, 0
+            )
+            self.not_self_sph = not_self_excl != prim
+
+    def blocked(self, dx, dy, dz, limit, active):
+        tri, sph = self.tri, self.sph
+        out = jnp.zeros((1, self.px.shape[1]), jnp.int32)
+        if self.n_tri > 0:
+            fn0, fn1, fn2 = tri[:, 0:1], tri[:, 1:2], tri[:, 2:3]
+            dpl = tri[:, 3:4]
+            no_d = fn0 * dx + fn1 * dy + fn2 * dz
+            backface = no_d > 0.0
+            t = (dpl - self.o_fn) / no_d
+            ok = backface & (t > 0.0) & self.not_self_tri
+            for e in range(3):
+                g0 = tri[:, 4 + 3 * e : 5 + 3 * e]
+                g1 = tri[:, 5 + 3 * e : 6 + 3 * e]
+                g2 = tri[:, 6 + 3 * e : 7 + 3 * e]
+                h = tri[:, 13 + e : 14 + e]
+                ok = ok & (self.og[e] + h
+                           + t * (g0 * dx + g1 * dy + g2 * dz) >= 0.0)
+            ok = ok & active & jnp.isfinite(t) & (t < limit)
+            out = out | jnp.any(ok, axis=0, keepdims=True).astype(jnp.int32)
+        if self.n_sph > 0:
+            r2 = sph[:, 3:4]
+            wx, wy, wz = self.wx, self.wy, self.wz
+            qx = wy * dz - wz * dy
+            qy = wz * dx - wx * dz
+            qz = wx * dy - wy * dx
+            dist2 = qx * qx + qy * qy + qz * qz
+            tc = dx * wx + dy * wy + dz * wz
+            kk = jnp.sqrt(jnp.maximum(r2 - dist2, 0.0))
+            t = tc + kk  # Back rays take the far shell
+            ok = ((dist2 <= r2) & (t > 0.0) & self.not_self_sph
+                  & active & jnp.isfinite(t) & (t < limit))
+            out = out | jnp.any(ok, axis=0, keepdims=True).astype(jnp.int32)
+        return out != 0
 
 
 def get_shade(mat_sample, lights, px, py, pz, nax, nay, naz, vdx, vdy, vdz,
@@ -495,6 +521,7 @@ def get_shade(mat_sample, lights, px, py, pz, nax, nay, naz, vdx, vdy, vdz,
     m = mat_sample
     e = 1.0 / (m["smoothness"] + F32_EPS)
     energy = (e + 8.0) / np.float32(8.0 * np.pi)
+    sweep = _ShadowSweep(px, py, pz, prim, tri, sph, n_tri, n_sph)
 
     for li in range(n_light):
         # [1,1] slices broadcast against the [1,R] lane rows
@@ -532,8 +559,7 @@ def get_shade(mat_sample, lights, px, py, pz, nax, nay, naz, vdx, vdy, vdz,
         consider = active & lvalid & (cosine > 0.0)
         limit = jnp.where(HAS_O > 0.5, mag, _BIG)
 
-        blocked = _shadow_blocked(px, py, pz, -ldx, -ldy, -ldz, prim, limit,
-                                  consider, tri, sph, n_tri, n_sph)
+        blocked = sweep.blocked(-ldx, -ldy, -ldz, limit, consider)
         count = count + consider.astype(jnp.int32)
         lit = consider & ~blocked
 

@@ -62,6 +62,42 @@ def _level_kernel(last_ref, o_ref, d_ref, meta_ref, cs_ref, tri_ref,
     # traced level-is-last flag, lifted to a lane row for masking
     not_last = jnp.zeros(shape, jnp.int32) + last_ref[0] == 0
 
+    # Compaction packs live groups to the FRONT of the pool, so a tile past
+    # the live prefix is entirely dead — skip its sweeps/shade/march and
+    # emit dead outputs for the cost of one any() check.
+    @pl.when(jnp.logical_not(jnp.any(alive)))
+    def _():
+        zf = jnp.zeros((1, shape[1]), jnp.float32)
+        zi = jnp.zeros((1, shape[1]), jnp.int32)
+        for r in range(3):
+            contrib_ref[r : r + 1, :] = zf
+        for r in range(8):
+            rchild_f_ref[r : r + 1, :] = zf
+            fchild_f_ref[r : r + 1, :] = zf
+        for r in range(5):
+            rchild_i_ref[r : r + 1, :] = zi
+            fchild_i_ref[r : r + 1, :] = zi
+        casts_ref[:, :] = zi
+
+    @pl.when(jnp.any(alive))
+    def _():
+        _level_body(o, d, face, excl_prim, excl_face, slot, alive, c, s,
+                    not_last, tri, tri_T, sph, mat_t, mat_T, lights,
+                    contrib_ref, rchild_f_ref, rchild_i_ref, fchild_f_ref,
+                    fchild_i_ref, casts_ref,
+                    n_tri=n_tri, n_sph=n_sph, n_light=n_light,
+                    threshold=threshold, max_distance=max_distance,
+                    max_retries=max_retries, textures=textures)
+
+
+def _level_body(o, d, face, excl_prim, excl_face, slot, alive, c, s,
+                not_last, tri, tri_T, sph, mat_t, mat_T, lights,
+                contrib_ref, rchild_f_ref, rchild_i_ref, fchild_f_ref,
+                fchild_i_ref, casts_ref,
+                *, n_tri, n_sph, n_light, threshold, max_distance,
+                max_retries, textures):
+    shape = (1, o[0].shape[1])
+
     h = kc.full_sweep(o, d, face, excl_prim, excl_face, alive,
                       tri, sph, n_tri, n_sph, tri_T)
     live = alive & h["valid"]
