@@ -109,7 +109,8 @@ def trace_distributed(
     from raytracer_tpu.ops.intersect import _pallas_choice
 
     interp = _pallas_choice()
-    if (interp is not None and scene.bvh_node_min is None
+    if (interp is not None
+            and (scene.bvh_node_min is None or scene.blk_perm is not None)
             and scene.n_prim > 0 and kernel_textures_ok(textures)):
         from raytracer_tpu.ops import mc_pallas
 

@@ -24,7 +24,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
 
+from raytracer_tpu.scene.blocked import BLK_CHUNK
 from raytracer_tpu.scene.types import FACE_BACK, FACE_FRONT, Scene
 
 _BIG = 3.0e38
@@ -505,13 +507,16 @@ class _ShadowSweep:
 
 
 def get_shade(mat_sample, lights, px, py, pz, nax, nay, naz, vdx, vdy, vdz,
-              prim, active, tri, sph, n_tri: int, n_sph: int, n_light: int):
+              active, sweep, n_light: int):
     """Direct radiance rows at a (bump-adjusted) hit batch.
 
     mat_sample: eval_material output; lights: packed [L,16] table;
-    (nax,nay,naz): ADJUSTED shading normal; (vdx,vdy,vdz): view = -ray_d.
-    Returns (r, g, b, shadow_count) with shadow_count the per-lane number
-    of shadow rays cast (for the honest cast counters).
+    (nax,nay,naz): ADJUSTED shading normal; (vdx,vdy,vdz): view = -ray_d;
+    sweep: a shadow-sweep strategy (`_ShadowSweep` for the dense table,
+    `_BlockedShadowSweep` for the chunk-gated large-mesh layout) exposing
+    `blocked(dx, dy, dz, limit, active)`.  Returns (r, g, b, shadow_count)
+    with shadow_count the per-lane number of shadow rays cast (for the
+    honest cast counters).
     """
     r = jnp.zeros((1, px.shape[1]), jnp.float32)
     g = jnp.zeros_like(r)
@@ -521,7 +526,6 @@ def get_shade(mat_sample, lights, px, py, pz, nax, nay, naz, vdx, vdy, vdz,
     m = mat_sample
     e = 1.0 / (m["smoothness"] + F32_EPS)
     energy = (e + 8.0) / np.float32(8.0 * np.pi)
-    sweep = _ShadowSweep(px, py, pz, prim, tri, sph, n_tri, n_sph)
 
     for li in range(n_light):
         # [1,1] slices broadcast against the [1,R] lane rows
@@ -694,10 +698,14 @@ def back_sweep_with_normal(px, py, pz, dx, dy, dz, active, tri, sph,
 
 def march_rows(px, py, pz, nx0, ny0, nz0, dx0, dy0, dz0, k, want, tri, sph,
                n_tri: int, n_sph: int, max_distance: float, max_retries: int,
-               tri_T=None):
+               tri_T=None, sweep_fn=None):
     """Whole get_refract march on rows (src/main.rs:343-405): entry Snell
     refraction, interior reflective bounce loop (lax.while_loop, bounded by
     retries and distance budget), exit refraction.
+
+    `sweep_fn(px, py, pz, dx, dy, dz, active)` overrides the interior
+    nearest-backface sweep (the blocked large-mesh variant plugs in here);
+    default is the dense `back_sweep_with_normal` over `tri`/`sph`.
 
     Returns dict(escaped [1,R] bool, travel, ex, ey, ez (escape origin),
     odx, ody, odz (escape dir), prim [1,R] i32, iters [1,R] i32 — casts
@@ -707,11 +715,17 @@ def march_rows(px, py, pz, nx0, ny0, nz0, dx0, dy0, dz0, k, want, tri, sph,
     shape = (1, px.shape[1])
     izero = jnp.zeros(shape, jnp.int32)
 
+    if sweep_fn is None:
+        def sweep_fn(sx, sy, sz, sdx, sdy, sdz, act):
+            return back_sweep_with_normal(
+                sx, sy, sz, sdx, sdy, sdz, act, tri, sph, n_tri, n_sph, tri_T
+            )
+
     rx, ry, rz, ok_in = refract3(nx0, ny0, nz0, dx0, dy0, dz0, k)
     active0 = want & ok_in  # TIR at entry -> Trapped (main.rs:354-358)
 
-    t, prim, hx, hy, hz, nix, niy, niz = back_sweep_with_normal(
-        px, py, pz, rx, ry, rz, active0, tri, sph, n_tri, n_sph, tri_T
+    t, prim, hx, hy, hz, nix, niy, niz = sweep_fn(
+        px, py, pz, rx, ry, rz, active0
     )
     alive = active0 & (t < _BIG)  # miss -> Infinite -> dead
     travel = jnp.where(alive, t, 0.0)
@@ -738,9 +752,8 @@ def march_rows(px, py, pz, nx0, ny0, nz0, dx0, dy0, dz0, k, want, tri, sph,
         # get_reflect on the interior hit (main.rs:380)
         fx, fy, fz = reflect3(s["dx"], s["dy"], s["dz"],
                               s["nx"], s["ny"], s["nz"])
-        t2, prim2, hx2, hy2, hz2, nx2, ny2, nz2 = back_sweep_with_normal(
-            s["cx"], s["cy"], s["cz"], fx, fy, fz, p, tri, sph, n_tri,
-            n_sph, tri_T
+        t2, prim2, hx2, hy2, hz2, nx2, ny2, nz2 = sweep_fn(
+            s["cx"], s["cy"], s["cz"], fx, fy, fz, p
         )
         step_alive = p & (t2 < _BIG)
         travel2 = s["travel"] + jnp.where(step_alive, t2, 0.0)
@@ -773,3 +786,524 @@ def march_rows(px, py, pz, nx0, ny0, nz0, dx0, dy0, dz0, k, want, tri, sph,
         prim=state["prim"],
         iters=state["iters"] + active0.astype(jnp.int32),
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocked large-mesh geometry (scene/blocked.py layout)
+# ---------------------------------------------------------------------------
+#
+# Past a few hundred triangles the dense [T x R] sweep is O(T) per ray.
+# The blocked layout keeps the reference semantics but adds a chunk-gated
+# traversal: triangles permuted into BVH leaf order, grouped in chunks of
+# BLK_CHUNK rows with a precomputed AABB per chunk.  Traversal is a
+# fori_loop over chunks; each iteration runs ONE vectorized slab test of
+# the chunk AABB against all ray lanes and a lax.cond that executes the
+# dense triangle test only when some lane's ray enters the box (bounded by
+# its current best hit).  No per-lane stacks, no gathers — the TPU-native
+# answer to the BVH.  Tie-break parity with the reference's
+# scan-in-index-order/update-on-<= (src/main.rs:229-233) is kept by
+# carrying original triangle ids and comparing (t, id) lexicographically.
+
+BLK_COLS = 48  # pack_tri's 34 cols + orig id (34) + pad (35:48)
+
+
+def pack_tri_blocked(scene: Scene) -> jnp.ndarray:
+    """[T_pad, 48] permuted triangle table.
+
+    Rows follow scene.blk_perm (BVH leaf order); cols 0:34 are the
+    pack_tri columns, col 34 the ORIGINAL triangle id (f32; exact for ids
+    < 2^24), cols 35:48 zero.  Pad rows (perm == -1) are all-zero: their
+    plane test divides 0/0 -> NaN -> filtered by isfinite, id -1 never
+    matches an exclusion."""
+    from raytracer_tpu.ops.intersect_pallas import pack_tri
+
+    base = pack_tri(scene)  # [T, 34]
+    perm = scene.blk_perm  # [T_pad]
+    t_pad = perm.shape[0]
+    live = perm >= 0
+    rows = base[jnp.maximum(perm, 0)] * live.astype(jnp.float32)[:, None]
+    ids = jnp.where(live, perm, -1).astype(jnp.float32)[:, None]
+    pad = jnp.zeros((t_pad, BLK_COLS - 35), jnp.float32)
+    return jnp.concatenate([rows, ids, pad], axis=1)
+
+
+def pack_boxes8(scene: Scene) -> jnp.ndarray:
+    """[NCH*8, 8] chunk AABBs, each replicated 8x so in-kernel dynamic row
+    reads stay sublane-aligned (chunk c reads rows [8c, 8c+8))."""
+    return jnp.repeat(scene.blk_box, 8, axis=0)
+
+
+def _slab_rows(box, ox, oy, oz, inv_dx, inv_dy, inv_dz, tmax):
+    """Chunk-AABB slab test against ray lanes; [1,R] bool.
+
+    box: [8, 8] replicated chunk row (min xyz cols 0:3, max xyz 3:6).
+    Bounded by per-lane tmax (current best hit / shadow limit).  Matches
+    the XLA traversal's idiom (ops/intersect_bvh.py:97-102) including the
+    0 * inf -> NaN miss on rays exactly in a box face's plane with a zero
+    direction component (conservative in practice: reference scenes never
+    place ray origins exactly on a chunk boundary plane)."""
+    b = lambda c: box[0:1, c : c + 1]
+    t0x = (b(0) - ox) * inv_dx
+    t1x = (b(3) - ox) * inv_dx
+    t0y = (b(1) - oy) * inv_dy
+    t1y = (b(4) - oy) * inv_dy
+    t0z = (b(2) - oz) * inv_dz
+    t1z = (b(5) - oz) * inv_dz
+    tn = jnp.maximum(
+        jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+        jnp.minimum(t0z, t1z),
+    )
+    tf = jnp.minimum(
+        jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+        jnp.maximum(t0z, t1z),
+    )
+    return (tn <= jnp.minimum(tf, tmax)) & (tf >= 0.0)
+
+
+def _chunk_rows(tblk_ref, ci):
+    """Load chunk ci's [BLK_CHUNK, BLK_COLS] rows (ref or value array)."""
+    return tblk_ref[pl.ds(ci * BLK_CHUNK, BLK_CHUNK), :]
+
+
+def _box_rows(boxes8_ref, ci):
+    return boxes8_ref[pl.ds(ci * 8, 8), :]
+
+
+def blocked_full_sweep(o, d, face, excl_prim, excl_face, active,
+                       tblk_ref, boxes8_ref, sph, n_tri: int, n_sph: int,
+                       n_chunks: int):
+    """Nearest hit with all attributes over the blocked layout.
+
+    Semantics identical to `full_sweep` (== ops/intersect.cast): face
+    culling, exclusion, inside test, last-wins tie-break on original ids
+    with spheres beating triangles on exact ties, unnormalized flipped
+    triangle normals, spherical uv.  Winner attributes are reconstructed
+    per hit chunk with ONE [BLK_COLS, BLK_CHUNK] x [BLK_CHUNK, R] MXU
+    one-hot contraction and carried through the chunk loop."""
+    ox, oy, oz = o
+    dx, dy, dz = d
+    shape = (1, ox.shape[1])
+    zf = jnp.zeros(shape, jnp.float32)
+    inv_dx, inv_dy, inv_dz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+
+    st = dict(t=jnp.full(shape, _BIG, jnp.float32),
+              idf=jnp.full(shape, -1.0, jnp.float32),
+              bf=zf, nx=zf, ny=zf, nz=zf, u=zf, v=zf, obj=zf)
+
+    def chunk(ci, st):
+        box = _box_rows(boxes8_ref, ci)
+        hit_box = _slab_rows(box, ox, oy, oz, inv_dx, inv_dy, inv_dz,
+                             st["t"]) & active
+
+        def run(st):
+            rows = _chunk_rows(tblk_ref, ci)
+            fn0, fn1, fn2 = rows[:, 0:1], rows[:, 1:2], rows[:, 2:3]
+            dpl = rows[:, 3:4]
+            ids = rows[:, 34:35]
+            ids_i = ids.astype(jnp.int32)
+            no_d = fn0 * dx + fn1 * dy + fn2 * dz
+            backface = no_d > 0.0
+            cull = (backface & (face == FACE_FRONT)) | (
+                (~backface) & (face == FACE_BACK)
+            )
+            t = (dpl - (fn0 * ox + fn1 * oy + fn2 * oz)) / no_d
+            excl = (excl_prim == ids_i) & _excl_crit(excl_face, backface)
+            ok = active & ~cull & ~excl & (t > 0.0)
+            for e in range(3):
+                g0 = rows[:, 4 + 3 * e : 5 + 3 * e]
+                g1 = rows[:, 5 + 3 * e : 6 + 3 * e]
+                g2 = rows[:, 6 + 3 * e : 7 + 3 * e]
+                h = rows[:, 13 + e : 14 + e]
+                og = g0 * ox + g1 * oy + g2 * oz
+                dg = g0 * dx + g1 * dy + g2 * dz
+                ok = ok & (og + h + t * dg >= 0.0)
+            ok = ok & jnp.isfinite(t)
+            tm = jnp.where(ok, t, _BIG)
+            t_min = jnp.min(tm, axis=0, keepdims=True)
+            win = jnp.max(jnp.where(tm == t_min, ids, -1.0), axis=0,
+                          keepdims=True)
+            found = t_min < _BIG
+            better = found & (
+                (t_min < st["t"]) | ((t_min == st["t"]) & (win > st["idf"]))
+            )
+            # ids are unique within a chunk, so the id match alone is
+            # one-hot for found lanes (not-found lanes are gated off).
+            oh = (ids == win).astype(jnp.float32)
+            cols = jax.lax.dot_general(
+                rows, oh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            col = lambda c: cols[c : c + 1, :]
+            bfw = jnp.sum(oh * backface.astype(jnp.float32), axis=0,
+                          keepdims=True)
+            px = ox + t_min * dx
+            py = oy + t_min * dy
+            pz = oz + t_min * dz
+            area2 = col(31)
+            inv_a2 = 1.0 / jnp.where(area2 != 0.0, area2, 1.0)
+            nx = zf
+            ny = zf
+            nz = zf
+            u = zf
+            v = zf
+            for e in range(3):
+                gx, gy, gz = col(4 + 3 * e), col(5 + 3 * e), col(6 + 3 * e)
+                h = col(13 + e)
+                bary = (gx * px + gy * py + gz * pz + h) * inv_a2
+                nx = nx + bary * col(16 + 3 * e)
+                ny = ny + bary * col(17 + 3 * e)
+                nz = nz + bary * col(18 + 3 * e)
+                u = u + bary * col(25 + 2 * e)
+                v = v + bary * col(26 + 2 * e)
+            flip = jnp.where(bfw != 0.0, -1.0, 1.0)
+            upd = lambda new, old: jnp.where(better, new, old)
+            return dict(
+                t=upd(t_min, st["t"]), idf=upd(win, st["idf"]),
+                bf=upd(bfw, st["bf"]),
+                nx=upd(nx * flip, st["nx"]), ny=upd(ny * flip, st["ny"]),
+                nz=upd(nz * flip, st["nz"]),
+                u=upd(u, st["u"]), v=upd(v, st["v"]),
+                obj=upd(col(32), st["obj"]),
+            )
+
+        return jax.lax.cond(jnp.any(hit_box), run, lambda s: s, st)
+
+    if n_tri > 0:
+        st = jax.lax.fori_loop(0, n_chunks, chunk, st)
+
+    best_t = st["t"]
+    best_if = st["idf"]
+    best_bf_f = st["bf"]  # 0/1 as f32 (Mosaic rejects bool-valued selects)
+    nx, ny, nz = st["nx"], st["ny"], st["nz"]
+    u, v, obj = st["u"], st["v"], st["obj"]
+
+    if n_sph > 0:
+        cx, cy, cz, r2 = sph[:, 0:1], sph[:, 1:2], sph[:, 2:3], sph[:, 3:4]
+        wx, wy, wz = cx - ox, cy - oy, cz - oz
+        qx = wy * dz - wz * dy
+        qy = wz * dx - wx * dz
+        qz = wx * dy - wy * dx
+        dist2 = qx * qx + qy * qy + qz * qz
+        tc = dx * wx + dy * wy + dz * wz
+        kk = jnp.sqrt(jnp.maximum(r2 - dist2, 0.0))
+        is_back = face == FACE_BACK
+        is_front = face == FACE_FRONT
+        backface = is_back | (~is_front & ~is_back & (tc < kk))
+        t = jnp.where(backface, tc + kk, tc - kk)
+        prim = n_tri + jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+        excl = (excl_prim == prim) & _excl_crit(excl_face, backface)
+        ok = active & (dist2 <= r2) & (t > 0.0) & ~excl & jnp.isfinite(t)
+        tm = jnp.where(ok, t, _BIG)
+        sub = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 0)
+        t_min = jnp.min(tm, axis=0, keepdims=True)
+        win = jnp.max(jnp.where(tm == t_min, sub, -1), axis=0, keepdims=True)
+        bfw = jnp.sum(jnp.where((sub == win) & backface, 1.0, 0.0), axis=0,
+                      keepdims=True)
+        # sphere wins exact ties (scanned after triangles, update-on-<=)
+        found = (t_min < _BIG) & (t_min <= best_t)
+        best_t = jnp.where(found, t_min, best_t)
+        best_if = jnp.where(found, (n_tri + win).astype(jnp.float32), best_if)
+        best_bf_f = jnp.where(found, bfw, best_bf_f)
+    best_bf = best_bf_f != 0.0
+
+    valid = (best_t < _BIG) & active
+    t_hit = jnp.where(valid, best_t, 0.0)
+    px = ox + t_hit * dx
+    py = oy + t_hit * dy
+    pz = oz + t_hit * dz
+    best_i = best_if.astype(jnp.int32)
+
+    if n_sph > 0:
+        is_sph = (best_i >= n_tri) & valid if n_tri > 0 else valid
+        sub = jax.lax.broadcasted_iota(jnp.int32, (sph.shape[0], shape[1]), 0)
+        oh = ((sub + n_tri == best_i) & is_sph).astype(jnp.float32)
+
+        def scol(c):
+            return jnp.sum(oh * sph[:, c : c + 1], axis=0, keepdims=True)
+
+        wx = px - scol(0)
+        wy = py - scol(1)
+        wz = pz - scol(2)
+        sx, sy, sz = normalize3(wx, wy, wz)
+        sflip = jnp.where(best_bf, -1.0, 1.0)
+        sx, sy, sz = sx * sflip, sy * sflip, sz * sflip
+        su = acos(jnp.clip(sy, -1.0, 1.0)) * np.float32(1.0 / np.pi)
+        sv = atan2(sz, sx) * np.float32(0.5 / np.pi) + 0.5
+        nx = jnp.where(is_sph, sx, nx)
+        ny = jnp.where(is_sph, sy, ny)
+        nz = jnp.where(is_sph, sz, nz)
+        u = jnp.where(is_sph, su, u)
+        v = jnp.where(is_sph, sv, v)
+        obj = jnp.where(is_sph, scol(4), obj)
+
+    return dict(
+        valid=valid,
+        t=jnp.where(valid, best_t, _BIG),
+        prim=jnp.where(valid, best_i, -1),
+        obj=(jnp.maximum(obj, 0.0) + 0.5).astype(jnp.int32),
+        backface=best_bf & valid,
+        px=px, py=py, pz=pz,
+        nx=nx, ny=ny, nz=nz,
+        u=u, v=v,
+    )
+
+
+class _BlockedShadowSweep:
+    """Chunk-gated any-hit shadow sweep over the blocked layout.
+
+    Reference semantics as _ShadowSweep (shadow rays only hit backfaces,
+    self-exclusion by primitive id, occluders within the light distance,
+    src/main.rs:425-448); chunks whose AABB no pending lane's shadow ray
+    enters within the limit are skipped, and the gate also saturates once
+    every lane is blocked."""
+
+    def __init__(self, px, py, pz, not_self_excl, tblk_ref, boxes8_ref,
+                 sph, n_tri: int, n_sph: int, n_chunks: int):
+        self.px, self.py, self.pz = px, py, pz
+        self.not_self = not_self_excl
+        self.tblk_ref, self.boxes8_ref = tblk_ref, boxes8_ref
+        self.sph = sph
+        self.n_tri, self.n_sph, self.n_chunks = n_tri, n_sph, n_chunks
+        if n_sph > 0:
+            cx, cy, cz = sph[:, 0:1], sph[:, 1:2], sph[:, 2:3]
+            self.wx, self.wy, self.wz = cx - px, cy - py, cz - pz
+            prim = n_tri + jax.lax.broadcasted_iota(jnp.int32, self.wx.shape, 0)
+            self.not_self_sph = not_self_excl != prim
+
+    def blocked(self, dx, dy, dz, limit, active):
+        px, py, pz = self.px, self.py, self.pz
+        out = jnp.zeros((1, px.shape[1]), jnp.int32)
+        if self.n_tri > 0:
+            inv_dx, inv_dy, inv_dz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+
+            def chunk(ci, out):
+                pending = active & (out == 0)
+                box = _box_rows(self.boxes8_ref, ci)
+                hit_box = _slab_rows(box, px, py, pz, inv_dx, inv_dy,
+                                     inv_dz, limit) & pending
+
+                def run(out):
+                    rows = _chunk_rows(self.tblk_ref, ci)
+                    fn0, fn1, fn2 = rows[:, 0:1], rows[:, 1:2], rows[:, 2:3]
+                    dpl = rows[:, 3:4]
+                    ids_i = rows[:, 34:35].astype(jnp.int32)
+                    no_d = fn0 * dx + fn1 * dy + fn2 * dz
+                    t = (dpl - (fn0 * px + fn1 * py + fn2 * pz)) / no_d
+                    ok = (no_d > 0.0) & (t > 0.0) & (self.not_self != ids_i)
+                    for e in range(3):
+                        g0 = rows[:, 4 + 3 * e : 5 + 3 * e]
+                        g1 = rows[:, 5 + 3 * e : 6 + 3 * e]
+                        g2 = rows[:, 6 + 3 * e : 7 + 3 * e]
+                        h = rows[:, 13 + e : 14 + e]
+                        og = g0 * px + g1 * py + g2 * pz
+                        dg = g0 * dx + g1 * dy + g2 * dz
+                        ok = ok & (og + h + t * dg >= 0.0)
+                    ok = ok & pending & jnp.isfinite(t) & (t < limit)
+                    return out | jnp.any(ok, axis=0, keepdims=True).astype(
+                        jnp.int32
+                    )
+
+                return jax.lax.cond(jnp.any(hit_box), run, lambda o: o, out)
+
+            out = jax.lax.fori_loop(0, self.n_chunks, chunk, out)
+        if self.n_sph > 0:
+            sph = self.sph
+            r2 = sph[:, 3:4]
+            wx, wy, wz = self.wx, self.wy, self.wz
+            qx = wy * dz - wz * dy
+            qy = wz * dx - wx * dz
+            qz = wx * dy - wy * dx
+            dist2 = qx * qx + qy * qy + qz * qz
+            tc = dx * wx + dy * wy + dz * wz
+            kk = jnp.sqrt(jnp.maximum(r2 - dist2, 0.0))
+            t = tc + kk  # Back rays take the far shell
+            ok = ((dist2 <= r2) & (t > 0.0) & self.not_self_sph
+                  & active & jnp.isfinite(t) & (t < limit))
+            out = out | jnp.any(ok, axis=0, keepdims=True).astype(jnp.int32)
+        return out != 0
+
+
+def blocked_back_sweep(px, py, pz, dx, dy, dz, active, tblk_ref, boxes8_ref,
+                       sph, n_tri: int, n_sph: int, n_chunks: int):
+    """Blocked-layout interior sweep: nearest BACKFACE hit + flipped
+    interpolated normal (the large-mesh `back_sweep_with_normal`).
+
+    Back rays hit only backfaces and exclusion is a provable no-op
+    (ops/march_pallas.py), so the chunk test is the plane/edge test plus
+    the backface sign.  Returns (t, prim, hx, hy, hz, nx, ny, nz)."""
+    shape = (1, px.shape[1])
+    zf = jnp.zeros(shape, jnp.float32)
+    inv_dx, inv_dy, inv_dz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+
+    st = dict(t=jnp.full(shape, _BIG, jnp.float32),
+              idf=jnp.full(shape, -1.0, jnp.float32),
+              nx=zf, ny=zf, nz=zf)
+
+    def chunk(ci, st):
+        box = _box_rows(boxes8_ref, ci)
+        hit_box = _slab_rows(box, px, py, pz, inv_dx, inv_dy, inv_dz,
+                             st["t"]) & active
+
+        def run(st):
+            rows = _chunk_rows(tblk_ref, ci)
+            fn0, fn1, fn2 = rows[:, 0:1], rows[:, 1:2], rows[:, 2:3]
+            dpl = rows[:, 3:4]
+            ids = rows[:, 34:35]
+            no_d = fn0 * dx + fn1 * dy + fn2 * dz
+            t = (dpl - (fn0 * px + fn1 * py + fn2 * pz)) / no_d
+            ok = (no_d > 0.0) & (t > 0.0)
+            for e in range(3):
+                g0 = rows[:, 4 + 3 * e : 5 + 3 * e]
+                g1 = rows[:, 5 + 3 * e : 6 + 3 * e]
+                g2 = rows[:, 6 + 3 * e : 7 + 3 * e]
+                h = rows[:, 13 + e : 14 + e]
+                og = g0 * px + g1 * py + g2 * pz
+                dg = g0 * dx + g1 * dy + g2 * dz
+                ok = ok & (og + h + t * dg >= 0.0)
+            ok = ok & active & jnp.isfinite(t)
+            tm = jnp.where(ok, t, _BIG)
+            t_min = jnp.min(tm, axis=0, keepdims=True)
+            win = jnp.max(jnp.where(tm == t_min, ids, -1.0), axis=0,
+                          keepdims=True)
+            found = t_min < _BIG
+            better = found & (
+                (t_min < st["t"]) | ((t_min == st["t"]) & (win > st["idf"]))
+            )
+            oh = (ids == win).astype(jnp.float32)
+            cols = jax.lax.dot_general(
+                rows, oh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            col = lambda c: cols[c : c + 1, :]
+            hx = px + t_min * dx
+            hy = py + t_min * dy
+            hz = pz + t_min * dz
+            area2 = col(31)
+            inv_a2 = 1.0 / jnp.where(area2 != 0.0, area2, 1.0)
+            nx = zf
+            ny = zf
+            nz = zf
+            for e in range(3):
+                gx, gy, gz = col(4 + 3 * e), col(5 + 3 * e), col(6 + 3 * e)
+                h = col(13 + e)
+                bary = (gx * hx + gy * hy + gz * hz + h) * inv_a2
+                nx = nx + bary * col(16 + 3 * e)
+                ny = ny + bary * col(17 + 3 * e)
+                nz = nz + bary * col(18 + 3 * e)
+            upd = lambda new, old: jnp.where(better, new, old)
+            # backface hit: flipped
+            return dict(t=upd(t_min, st["t"]), idf=upd(win, st["idf"]),
+                        nx=upd(-nx, st["nx"]), ny=upd(-ny, st["ny"]),
+                        nz=upd(-nz, st["nz"]))
+
+        return jax.lax.cond(jnp.any(hit_box), run, lambda s: s, st)
+
+    if n_tri > 0:
+        st = jax.lax.fori_loop(0, n_chunks, chunk, st)
+
+    best_t = st["t"]
+    best_if = st["idf"]
+    nx, ny, nz = st["nx"], st["ny"], st["nz"]
+
+    if n_sph > 0:
+        cx, cy, cz, r2 = sph[:, 0:1], sph[:, 1:2], sph[:, 2:3], sph[:, 3:4]
+        wx, wy, wz = cx - px, cy - py, cz - pz
+        qx = wy * dz - wz * dy
+        qy = wz * dx - wx * dz
+        qz = wx * dy - wy * dx
+        dist2 = qx * qx + qy * qy + qz * qz
+        tc = dx * wx + dy * wy + dz * wz
+        kk = jnp.sqrt(jnp.maximum(r2 - dist2, 0.0))
+        t = tc + kk  # Back rays take the far shell (main.rs:273-281)
+        ok = active & (dist2 <= r2) & (t > 0.0) & jnp.isfinite(t)
+        tm = jnp.where(ok, t, _BIG)
+        sub = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 0)
+        t_min = jnp.min(tm, axis=0, keepdims=True)
+        win = jnp.max(jnp.where(tm == t_min, sub, -1), axis=0, keepdims=True)
+        found = (t_min < _BIG) & (t_min <= best_t)
+        best_t = jnp.where(found, t_min, best_t)
+        best_if = jnp.where(found, (n_tri + win).astype(jnp.float32), best_if)
+
+    hx = px + best_t * dx
+    hy = py + best_t * dy
+    hz = pz + best_t * dz
+    best_i = best_if.astype(jnp.int32)
+
+    if n_sph > 0:
+        is_sph = (best_i >= n_tri) & (best_i >= 0) if n_tri > 0 else best_i >= 0
+        sub = jax.lax.broadcasted_iota(jnp.int32, (sph.shape[0], shape[1]), 0)
+        oh = ((sub + n_tri == best_i) & is_sph).astype(jnp.float32)
+        scx = jnp.sum(oh * sph[:, 0:1], axis=0, keepdims=True)
+        scy = jnp.sum(oh * sph[:, 1:2], axis=0, keepdims=True)
+        scz = jnp.sum(oh * sph[:, 2:3], axis=0, keepdims=True)
+        wx, wy, wz = hx - scx, hy - scy, hz - scz
+        inv = jax.lax.rsqrt(jnp.maximum(wx * wx + wy * wy + wz * wz, 1e-30))
+        nx = jnp.where(is_sph, -wx * inv, nx)
+        ny = jnp.where(is_sph, -wy * inv, ny)
+        nz = jnp.where(is_sph, -wz * inv, nz)
+
+    return best_t, best_i, hx, hy, hz, nx, ny, nz
+
+
+# ---------------------------------------------------------------------------
+# Geometry strategy adapters for the fused kernels
+# ---------------------------------------------------------------------------
+
+
+class DenseGeom:
+    """Dense-table strategy: the whole [T, 34] table tested per sweep
+    (right answer at reference scale, tens of primitives in VMEM)."""
+
+    def __init__(self, tri, tri_T, sph, n_tri: int, n_sph: int):
+        self.tri, self.tri_T, self.sph = tri, tri_T, sph
+        self.n_tri, self.n_sph = n_tri, n_sph
+
+    def nearest(self, o, d, face, excl_prim, excl_face, active):
+        return full_sweep(o, d, face, excl_prim, excl_face, active,
+                          self.tri, self.sph, self.n_tri, self.n_sph,
+                          self.tri_T)
+
+    def shadow_sweep(self, px, py, pz, prim):
+        return _ShadowSweep(px, py, pz, prim, self.tri, self.sph,
+                            self.n_tri, self.n_sph)
+
+    def march(self, px, py, pz, nx, ny, nz, dx, dy, dz, k, want,
+              max_distance: float, max_retries: int):
+        return march_rows(px, py, pz, nx, ny, nz, dx, dy, dz, k, want,
+                          self.tri, self.sph, self.n_tri, self.n_sph,
+                          max_distance, max_retries, self.tri_T)
+
+
+class BlockedGeom:
+    """Blocked-layout strategy for large meshes: chunk-gated sweeps over
+    the VMEM-resident permuted table (see module section above)."""
+
+    def __init__(self, tblk_ref, boxes8_ref, sph, n_tri: int, n_sph: int,
+                 n_chunks: int):
+        self.tblk_ref, self.boxes8_ref = tblk_ref, boxes8_ref
+        self.sph = sph
+        self.n_tri, self.n_sph, self.n_chunks = n_tri, n_sph, n_chunks
+
+    def nearest(self, o, d, face, excl_prim, excl_face, active):
+        return blocked_full_sweep(o, d, face, excl_prim, excl_face, active,
+                                  self.tblk_ref, self.boxes8_ref, self.sph,
+                                  self.n_tri, self.n_sph, self.n_chunks)
+
+    def shadow_sweep(self, px, py, pz, prim):
+        return _BlockedShadowSweep(px, py, pz, prim, self.tblk_ref,
+                                   self.boxes8_ref, self.sph, self.n_tri,
+                                   self.n_sph, self.n_chunks)
+
+    def march(self, px, py, pz, nx, ny, nz, dx, dy, dz, k, want,
+              max_distance: float, max_retries: int):
+        def sweep_fn(sx, sy, sz, sdx, sdy, sdz, act):
+            return blocked_back_sweep(sx, sy, sz, sdx, sdy, sdz, act,
+                                      self.tblk_ref, self.boxes8_ref,
+                                      self.sph, self.n_tri, self.n_sph,
+                                      self.n_chunks)
+
+        return march_rows(px, py, pz, nx, ny, nz, dx, dy, dz, k, want,
+                          None, self.sph, self.n_tri, self.n_sph,
+                          max_distance, max_retries, sweep_fn=sweep_fn)

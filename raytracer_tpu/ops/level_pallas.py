@@ -33,14 +33,17 @@ from raytracer_tpu.scene.types import FACE_BACK, FACE_FRONT, Scene
 _BIG = kc._BIG
 
 
-def _level_kernel(last_ref, o_ref, d_ref, meta_ref, cs_ref, tri_ref,
-                  tri_T_ref, sph_ref, mat_ref, mat_T_ref, light_ref,
+def _level_kernel(last_ref, o_ref, d_ref, meta_ref, cs_ref, g1_ref,
+                  g2_ref, sph_ref, mat_ref, mat_T_ref, light_ref,
                   contrib_ref, rchild_f_ref, rchild_i_ref, fchild_f_ref,
                   fchild_i_ref, casts_ref,
-                  *, n_tri: int, n_sph: int, n_light: int, threshold: float,
+                  *, blocked: bool, n_chunks: int,
+                  n_tri: int, n_sph: int, n_light: int, threshold: float,
                   max_distance: float, max_retries: int, textures):
     """meta rows: face, excl_prim, excl_face, slot, alive (i32).
     cs rows: c (contribution), s (scale).
+    g1/g2: dense (tri [T,34], tri_T [34,T]) or blocked (tblk [T_pad,48],
+    boxes8 [NCH*8,8]) geometry operands (kernel_common Geom strategies).
     Child outputs: floats [8,R] = o(3), d(3), c, s; ints [5,R] =
     face, excl_prim, excl_face, slot, alive."""
     o = (o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :])
@@ -52,9 +55,11 @@ def _level_kernel(last_ref, o_ref, d_ref, meta_ref, cs_ref, tri_ref,
     alive = meta_ref[4:5, :] != 0
     c = cs_ref[0:1, :]
     s = cs_ref[1:2, :]
-    tri = tri_ref[:, :]
-    tri_T = tri_T_ref[:, :]
     sph = sph_ref[:, :]
+    if blocked:
+        geom = kc.BlockedGeom(g1_ref, g2_ref, sph, n_tri, n_sph, n_chunks)
+    else:
+        geom = kc.DenseGeom(g1_ref[:, :], g2_ref[:, :], sph, n_tri, n_sph)
     mat_t = mat_ref[:, :]
     mat_T = mat_T_ref[:, :]
     lights = light_ref[:, :]
@@ -82,24 +87,23 @@ def _level_kernel(last_ref, o_ref, d_ref, meta_ref, cs_ref, tri_ref,
     @pl.when(jnp.any(alive))
     def _():
         _level_body(o, d, face, excl_prim, excl_face, slot, alive, c, s,
-                    not_last, tri, tri_T, sph, mat_t, mat_T, lights,
+                    not_last, geom, mat_t, mat_T, lights,
                     contrib_ref, rchild_f_ref, rchild_i_ref, fchild_f_ref,
                     fchild_i_ref, casts_ref,
-                    n_tri=n_tri, n_sph=n_sph, n_light=n_light,
+                    n_light=n_light,
                     threshold=threshold, max_distance=max_distance,
                     max_retries=max_retries, textures=textures)
 
 
 def _level_body(o, d, face, excl_prim, excl_face, slot, alive, c, s,
-                not_last, tri, tri_T, sph, mat_t, mat_T, lights,
+                not_last, geom, mat_t, mat_T, lights,
                 contrib_ref, rchild_f_ref, rchild_i_ref, fchild_f_ref,
                 fchild_i_ref, casts_ref,
-                *, n_tri, n_sph, n_light, threshold, max_distance,
+                *, n_light, threshold, max_distance,
                 max_retries, textures):
     shape = (1, o[0].shape[1])
 
-    h = kc.full_sweep(o, d, face, excl_prim, excl_face, alive,
-                      tri, sph, n_tri, n_sph, tri_T)
+    h = geom.nearest(o, d, face, excl_prim, excl_face, alive)
     live = alive & h["valid"]
     casts = alive.astype(jnp.int32)
 
@@ -113,10 +117,10 @@ def _level_body(o, d, face, excl_prim, excl_face, slot, alive, c, s,
     need_shade = live & (c * shade_c >= threshold)
     nax, nay, naz = kc.rotate_from_z(h["nx"], h["ny"], h["nz"],
                                      m["tnx"], m["tny"], m["tnz"])
+    sweep = geom.shadow_sweep(h["px"], h["py"], h["pz"], h["prim"])
     shr, shg, shb, cnt = kc.get_shade(
         m, lights, h["px"], h["py"], h["pz"], nax, nay, naz,
-        -d[0], -d[1], -d[2], h["prim"], need_shade,
-        tri, sph, n_tri, n_sph, n_light,
+        -d[0], -d[1], -d[2], need_shade, sweep, n_light,
     )
     casts = casts + cnt
     coef = jnp.where(not_last, s * shade_c, s)
@@ -146,10 +150,9 @@ def _level_body(o, d, face, excl_prim, excl_face, slot, alive, c, s,
     # refract child (main.rs:502-514): whole interior march in-kernel
     c_f = c * refr_c
     want_f = live & (c_f > threshold) & not_last  # strict > (504)
-    mm = kc.march_rows(h["px"], h["py"], h["pz"], h["nx"], h["ny"], h["nz"],
-                       d[0], d[1], d[2], m["refraction"], want_f,
-                       tri, sph, n_tri, n_sph, max_distance, max_retries,
-                       tri_T)
+    mm = geom.march(h["px"], h["py"], h["pz"], h["nx"], h["ny"], h["nz"],
+                    d[0], d[1], d[2], m["refraction"], want_f,
+                    max_distance, max_retries)
     casts = casts + mm["iters"]
     decay = kc.powf(m["decay"], mm["travel"])  # opaque_decay^travel (508)
     fchild_f_ref[0:1, :] = mm["ex"]
@@ -196,8 +199,15 @@ def process_level(scene: Scene, textures, pool_o, pool_d, pool_face,
     meta = prep_rows(jnp.stack([pool_face, pool_excl_prim, pool_excl_face,
                                 pool_slot, pool_alive.astype(jnp.int32)]))
     cs = prep_rows(jnp.stack([pool_c, pool_s]))
-    tri = pack_tri(scene) if scene.n_tri > 0 else jnp.zeros((8, 34), jnp.float32)
-    tri_T = tri.T  # winner-attr matmul operand
+    blocked = scene.blk_perm is not None and scene.n_tri > 0
+    if blocked:
+        g1 = kc.pack_tri_blocked(scene)  # [T_pad, 48]
+        g2 = kc.pack_boxes8(scene)  # [NCH*8, 8]
+        n_chunks = scene.blk_box.shape[0]
+    else:
+        g1 = pack_tri(scene) if scene.n_tri > 0 else jnp.zeros((8, 34), jnp.float32)
+        g2 = g1.T  # winner-attr matmul operand
+        n_chunks = 0
     sph = pack_sph(scene) if scene.n_sph > 0 else jnp.zeros((8, 8), jnp.float32)
     mat_t = kc.pack_materials(scene)
     mat_T = mat_t.T
@@ -205,7 +215,8 @@ def process_level(scene: Scene, textures, pool_o, pool_d, pool_face,
     last_s = jnp.asarray(last, jnp.int32).reshape((1,))
 
     kernel = functools.partial(
-        _level_kernel, n_tri=scene.n_tri, n_sph=scene.n_sph,
+        _level_kernel, blocked=blocked, n_chunks=n_chunks,
+        n_tri=scene.n_tri, n_sph=scene.n_sph,
         n_light=scene.n_light, threshold=threshold,
         max_distance=max_distance, max_retries=max_retries, textures=textures,
     )
@@ -220,7 +231,7 @@ def process_level(scene: Scene, textures, pool_o, pool_d, pool_face,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             row(3), row(3), row(5), row(2),
-            const(tri), const(tri_T), const(sph), const(mat_t),
+            const(g1), const(g2), const(sph), const(mat_t),
             const(mat_T), const(lights),
         ],
         out_specs=[row(3), row(8), row(5), row(8), row(5), row(1)],
@@ -233,7 +244,7 @@ def process_level(scene: Scene, textures, pool_o, pool_d, pool_face,
             jax.ShapeDtypeStruct((1, npad), jnp.int32),
         ],
         interpret=interpret,
-    )(last_s, o_t, d_t, meta, cs, tri, tri_T, sph, mat_t, mat_T, lights)
+    )(last_s, o_t, d_t, meta, cs, g1, g2, sph, mat_t, mat_T, lights)
 
     def child(f, i):
         return dict(

@@ -34,16 +34,19 @@ from raytracer_tpu.scene.types import FACE_BACK, FACE_FRONT, Scene
 _BIG = kc._BIG
 
 
-def _mc_kernel(o_ref, d_ref, unif_ref, tri_ref, tri_T_ref, sph_ref,
+def _mc_kernel(o_ref, d_ref, unif_ref, g1_ref, g2_ref, sph_ref,
                mat_ref, mat_T_ref, light_ref,
-               photon_ref, casts_ref, *, n_tri: int, n_sph: int,
+               photon_ref, casts_ref, *, blocked: bool, n_chunks: int,
+               n_tri: int, n_sph: int,
                n_light: int, depth: int, max_distance: float,
                max_retries: int, textures):
     o = (o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :])
     d = (d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :])
-    tri = tri_ref[:, :]
-    tri_T = tri_T_ref[:, :]
     sph = sph_ref[:, :]
+    if blocked:
+        geom = kc.BlockedGeom(g1_ref, g2_ref, sph, n_tri, n_sph, n_chunks)
+    else:
+        geom = kc.DenseGeom(g1_ref[:, :], g2_ref[:, :], sph, n_tri, n_sph)
     mat_t = mat_ref[:, :]
     mat_T = mat_T_ref[:, :]
     lights = light_ref[:, :]
@@ -52,8 +55,7 @@ def _mc_kernel(o_ref, d_ref, unif_ref, tri_ref, tri_T_ref, sph_ref,
     no_excl = jnp.full(shape, -1, jnp.int32)
 
     # primary cast (main.rs:1150)
-    h = kc.full_sweep(o, d, front, no_excl, front, jnp.ones(shape, bool),
-                      tri, sph, n_tri, n_sph, tri_T)
+    h = geom.nearest(o, d, front, no_excl, front, jnp.ones(shape, bool))
     alive = h["valid"]
     casts = jnp.ones(shape, jnp.int32)
 
@@ -105,9 +107,8 @@ def _mc_kernel(o_ref, d_ref, unif_ref, tri_ref, tri_T_ref, sph_ref,
         excl_face_r = jnp.where(cback, FACE_FRONT, FACE_BACK)
 
         want_f = live & sel_f
-        mm = kc.march_rows(cpx, cpy, cpz, cnx, cny, cnz, sdx, sdy, sdz,
-                           m["refraction"], want_f, tri, sph, n_tri, n_sph,
-                           max_distance, max_retries, tri_T)
+        mm = geom.march(cpx, cpy, cpz, cnx, cny, cnz, sdx, sdy, sdz,
+                        m["refraction"], want_f, max_distance, max_retries)
         casts = casts + mm["iters"]
 
         adv_ox = jnp.where(sel_f, mm["ex"], cpx)
@@ -120,10 +121,9 @@ def _mc_kernel(o_ref, d_ref, unif_ref, tri_ref, tri_T_ref, sph_ref,
         adv_excl_face = jnp.where(sel_f, FACE_BACK, excl_face_r)
         adv_active = live & (~sel_f | mm["escaped"])
 
-        nxt = kc.full_sweep(
+        nxt = geom.nearest(
             (adv_ox, adv_oy, adv_oz), (adv_dx, adv_dy, adv_dz),
             front, adv_excl_prim, adv_excl_face, adv_active,
-            tri, sph, n_tri, n_sph, tri_T,
         )
         casts = casts + adv_active.astype(jnp.int32)
         use_next = nxt["valid"]
@@ -149,10 +149,10 @@ def _mc_kernel(o_ref, d_ref, unif_ref, tri_ref, tri_T_ref, sph_ref,
         m2 = kc.eval_material(mat_t, textures, s_obj, s_u, s_v, mat_T)
         nax, nay, naz = kc.rotate_from_z(s_nx, s_ny, s_nz,
                                          m2["tnx"], m2["tny"], m2["tnz"])
+        sweep = geom.shadow_sweep(s_px, s_py, s_pz, s_prim)
         shr, shg, shb, cnt = kc.get_shade(
             m2, lights, s_px, s_py, s_pz, nax, nay, naz,
-            -s_rdx, -s_rdy, -s_rdz, s_prim, need_shade,
-            tri, sph, n_tri, n_sph, n_light,
+            -s_rdx, -s_rdy, -s_rdz, need_shade, sweep, n_light,
         )
         casts = casts + cnt
 
@@ -209,9 +209,10 @@ def _mc_kernel(o_ref, d_ref, unif_ref, tri_ref, tri_T_ref, sph_ref,
     m3 = kc.eval_material(mat_t, textures, cobj, cu, cv, mat_T)
     nax, nay, naz = kc.rotate_from_z(cnx, cny, cnz,
                                      m3["tnx"], m3["tny"], m3["tnz"])
+    sweep = geom.shadow_sweep(cpx, cpy, cpz, cprim)
     shr, shg, shb, cnt = kc.get_shade(
         m3, lights, cpx, cpy, cpz, nax, nay, naz, -cdx, -cdy, -cdz,
-        cprim, alive, tri, sph, n_tri, n_sph, n_light,
+        alive, sweep, n_light,
     )
     casts = casts + cnt
     ar = ar + jnp.where(alive, sr * shr, 0.0)
@@ -254,15 +255,23 @@ def trace(scene: Scene, textures, ray_o, ray_d, unifs, depth: int,
             u_t = jnp.pad(u_t, [(0, 0), (0, n_pad)])
     else:  # degenerate: block specs need >= 1 row
         u_t = jnp.zeros((1, o_t.shape[1]), jnp.float32)
-    tri = pack_tri(scene) if scene.n_tri > 0 else jnp.zeros((8, 34), jnp.float32)
-    tri_T = tri.T
+    blocked = scene.blk_perm is not None and scene.n_tri > 0
+    if blocked:
+        g1 = kc.pack_tri_blocked(scene)
+        g2 = kc.pack_boxes8(scene)
+        n_chunks = scene.blk_box.shape[0]
+    else:
+        g1 = pack_tri(scene) if scene.n_tri > 0 else jnp.zeros((8, 34), jnp.float32)
+        g2 = g1.T
+        n_chunks = 0
     sph = pack_sph(scene) if scene.n_sph > 0 else jnp.zeros((8, 8), jnp.float32)
     mat_t = kc.pack_materials(scene)
     mat_T = mat_t.T
     lights = kc.pack_lights(scene)
 
     kernel = functools.partial(
-        _mc_kernel, n_tri=scene.n_tri, n_sph=scene.n_sph,
+        _mc_kernel, blocked=blocked, n_chunks=n_chunks,
+        n_tri=scene.n_tri, n_sph=scene.n_sph,
         n_light=scene.n_light, depth=depth, max_distance=max_distance,
         max_retries=max_retries, textures=textures,
     )
@@ -275,7 +284,7 @@ def trace(scene: Scene, textures, ray_o, ray_d, unifs, depth: int,
         kernel,
         grid=(grid,),
         in_specs=[row(3), row(3), row(u_t.shape[0]),
-                  const(tri), const(tri_T), const(sph), const(mat_t),
+                  const(g1), const(g2), const(sph), const(mat_t),
                   const(mat_T), const(lights)],
         out_specs=[row(3), row(1)],
         out_shape=[
@@ -283,6 +292,6 @@ def trace(scene: Scene, textures, ray_o, ray_d, unifs, depth: int,
             jax.ShapeDtypeStruct((1, npad), jnp.int32),
         ],
         interpret=interpret,
-    )(o_t, d_t, u_t, tri, tri_T, sph, mat_t, mat_T, lights)
+    )(o_t, d_t, u_t, g1, g2, sph, mat_t, mat_T, lights)
 
     return photon[:, :n].T, jnp.sum(casts[0, :n])

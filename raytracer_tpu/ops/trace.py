@@ -356,10 +356,13 @@ def _process_level(scene, textures, cfg, pool: Pool, img, casts, last,
     from raytracer_tpu.ops.kernel_common import kernel_textures_ok
 
     interp = _pallas_choice()
-    if (interp is not None and scene.bvh_node_min is None
+    if (interp is not None
+            and (scene.bvh_node_min is None or scene.blk_perm is not None)
             and scene.n_prim > 0 and kernel_textures_ok(textures)):
         # Fused path: the whole level (cast + shade + shadow sweeps + march
-        # + child emission) is one Pallas launch (ops/level_pallas.py).
+        # + child emission) is one Pallas launch (ops/level_pallas.py);
+        # large meshes take the blocked chunk-gated sweeps inside the same
+        # kernel (kernel_common BlockedGeom).
         from raytracer_tpu.ops import level_pallas
 
         contrib, ch_r, ch_f, lvl_casts = level_pallas.process_level(
@@ -531,15 +534,22 @@ def trace_whitted(
 
     def level_body(i, state):
         pool, img, casts, dropped = state
-        last = i >= cfg.depth
         cands, img, casts = _process_level(
-            scene, textures, cfg, pool, img, casts, last, identity_slots=False
+            scene, textures, cfg, pool, img, casts, last=False,
+            identity_slots=False,
         )
         pool, drop = _compact(cands, k3, cfg.compact_group)
         dropped = dropped + drop
         return pool, img, casts, dropped
 
-    _, img, casts, dropped = jax.lax.fori_loop(
-        3, cfg.depth + 1, level_body, (pool3, img, casts, dropped)
+    # Loop runs levels 3..depth-1; the FINAL level is peeled: it emits no
+    # children (last=True), so compacting its dead candidates would be a
+    # pure-waste 2*k3-row scatter pass per tile.
+    pool_last, img, casts, dropped = jax.lax.fori_loop(
+        3, cfg.depth, level_body, (pool3, img, casts, dropped)
+    )
+    _, img, casts = _process_level(
+        scene, textures, cfg, pool_last, img, casts, last=True,
+        identity_slots=False,
     )
     return TraceResult(color=img, casts=casts, dropped=dropped)

@@ -93,24 +93,51 @@ def _mc_frame(scene: Scene, camera: Camera, clips_tiled, key, textures,
 
 _CLIPS_CACHE: dict = {}
 
+# Image-block pixel order for large-mesh (blocked) scenes: each 512-lane
+# kernel tile then covers a compact 32x16 pixel block instead of a
+# frame-wide scan strip, so its rays share a narrow frustum and the
+# chunk-AABB gates in the blocked sweeps (ops/kernel_common.py) actually
+# prune.  Scan order stays optimal for dense scenes (no gating there).
+_BLOCK_W, _BLOCK_H = 32, 16
 
-def _tiled_clips(cfg: RenderConfig):
-    """[n_tiles, tile, 2] clip grid, padded with dead rays at the tail.
 
-    Cached on device per (width, height, tile): re-uploading 8 MB of clip
-    coordinates through a remote-attached chip every frame is measurable.
+def _block_perm(width: int, height: int) -> np.ndarray:
+    """Pixel-index permutation into 32x16 block-major order (ragged edge
+    blocks are simply smaller)."""
+    idx = np.arange(height * width, dtype=np.int64).reshape(height, width)
+    order = [
+        idx[by : by + _BLOCK_H, bx : bx + _BLOCK_W].reshape(-1)
+        for by in range(0, height, _BLOCK_H)
+        for bx in range(0, width, _BLOCK_W)
+    ]
+    return np.concatenate(order)
+
+
+def _tiled_clips(cfg: RenderConfig, block_order: bool = False):
+    """([n_tiles, tile, 2] clip grid, pad, inverse-order gather or None).
+
+    Padded with dead rays at the tail; cached on device per
+    (width, height, tile, order): re-uploading 8 MB of clip coordinates
+    through a remote-attached chip every frame is measurable.
     """
     n = cfg.width * cfg.height
     tile = min(cfg.tile_rays, n)
-    key = (cfg.width, cfg.height, tile)
+    key = (cfg.width, cfg.height, tile, block_order)
     hit = _CLIPS_CACHE.get(key)
     if hit is not None:
         return hit
     clips = clip_coords(cfg.width, cfg.height)
+    inv = None
+    if block_order:
+        perm = _block_perm(cfg.width, cfg.height)
+        clips = clips[perm]
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(n, dtype=perm.dtype)
+        inv = jnp.asarray(inv.astype(np.int32))
     pad = (-n) % tile
     if pad:
         clips = np.concatenate([clips, np.zeros((pad, 2), np.float32)])
-    out = (jnp.asarray(clips.reshape(-1, tile, 2)), pad)
+    out = (jnp.asarray(clips.reshape(-1, tile, 2)), pad, inv)
     if len(_CLIPS_CACHE) > 16:
         _CLIPS_CACHE.clear()
     _CLIPS_CACHE[key] = out
@@ -122,10 +149,15 @@ def render_whitted(
 ) -> Tuple[jnp.ndarray, dict]:
     """Whitted pass over the full frame.  Returns ([H, W, 3], stats)."""
     n = cfg.width * cfg.height
-    clips_tiled, pad = _tiled_clips(cfg)
+    clips_tiled, pad, inv = _tiled_clips(
+        cfg, block_order=scene.blk_perm is not None
+    )
     colors, casts, dropped = _whitted_frame(scene, camera, clips_tiled,
                                             textures, cfg)
-    img = colors.reshape(-1, 3)[:n].reshape(cfg.height, cfg.width, 3)
+    flat = colors.reshape(-1, 3)[:n]
+    if inv is not None:
+        flat = flat[inv]
+    img = flat.reshape(cfg.height, cfg.width, 3)
     return img, {
         "casts": int(casts),
         "dropped": int(dropped),
@@ -143,10 +175,15 @@ def render_distributed_epoch(
     (parallel/progressive.py), matching the reference's epoch loop.
     """
     n = cfg.width * cfg.height
-    clips_tiled, pad = _tiled_clips(cfg)
+    clips_tiled, pad, inv = _tiled_clips(
+        cfg, block_order=scene.blk_perm is not None
+    )
     photons, casts, filtered = _mc_frame(scene, camera, clips_tiled, key,
                                          textures, cfg)
-    img = photons.reshape(-1, 3)[:n].reshape(cfg.height, cfg.width, 3)
+    flat = photons.reshape(-1, 3)[:n]
+    if inv is not None:
+        flat = flat[inv]
+    img = flat.reshape(cfg.height, cfg.width, 3)
     # when the pixel count is not tile-aligned, stats include the padding
     # rays (their photons are discarded above)
     return img, {

@@ -240,6 +240,13 @@ class SceneBuilder:
                 bvh_prim_order=jnp.asarray(bvh.prim_order),
                 bvh_depth=bvh.depth,
             )
+            from raytracer_tpu.scene.blocked import MAX_BLK_TRIS, build_blocked
+
+            if T <= MAX_BLK_TRIS:
+                perm, boxes = build_blocked(tri_v, bvh.prim_order)
+                bvh_fields.update(
+                    blk_perm=jnp.asarray(perm), blk_box=jnp.asarray(boxes)
+                )
 
         j = jnp.asarray
         return Scene(

@@ -98,6 +98,11 @@ class Scene:
     bvh_prim_order: jnp.ndarray | None = None  # [T]
     bvh_depth: int = 0
 
+    # Blocked triangle layout for the fused Pallas kernels on large meshes
+    # (scene/blocked.py): BVH leaf order chunked with per-chunk AABBs.
+    blk_perm: jnp.ndarray | None = None  # [T_pad] i32 (-1 = pad row)
+    blk_box: jnp.ndarray | None = None  # [NCH, 8] chunk AABB min/max
+
     @property
     def n_tri(self) -> int:
         return self.tri_v.shape[0]

@@ -167,12 +167,15 @@ def test_get_shade_rows_matches(demo):
         row(h.normal[:, 0]), row(h.normal[:, 1]), row(h.normal[:, 2]),
         m["tnx"], m["tny"], m["tnz"],
     )
+    sweep = kc._ShadowSweep(
+        row(h.pos[:, 0]), row(h.pos[:, 1]), row(h.pos[:, 2]),
+        row(h.prim), tri, sph, scene.n_tri, scene.n_sph,
+    )
     r, g, b, cnt = kc.get_shade(
         m, lights, row(h.pos[:, 0]), row(h.pos[:, 1]), row(h.pos[:, 2]),
         nax, nay, naz,
         row(-rays.d[:, 0]), row(-rays.d[:, 1]), row(-rays.d[:, 2]),
-        row(h.prim), row(h.valid), tri, sph,
-        scene.n_tri, scene.n_sph, scene.n_light,
+        row(h.valid), sweep, scene.n_light,
     )
     got = np.stack([np.asarray(r)[0], np.asarray(g)[0], np.asarray(b)[0]], -1)
     np.testing.assert_allclose(got, np.asarray(ref), atol=2e-3, rtol=2e-2)
