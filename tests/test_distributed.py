@@ -106,3 +106,65 @@ def test_mc_estimator_mean_matches_oracle():
     diff = np.abs(mean_fw - acc_o)
     assert np.median(diff) < 0.06, f"median diff {np.median(diff)}"
     assert (diff < 0.5).mean() > 0.95, f"large-diff fraction {(diff >= 0.5).mean()}"
+
+
+@pytest.mark.slow
+def test_mc_estimator_demo_glass_matches_oracle():
+    """Estimator parity on the DEMO scene's dielectric pixels.
+
+    Selects primary rays whose first hit is glass (transparency > 0.5:
+    the slabs and the clear sphere, src/main.rs:879-977, 998-1014), so
+    the roulette's refraction branch — interior march, opaque_decay
+    weighting, the 0.5 shade mix (main.rs:594-613) — dominates every
+    sampled path.  Round 1 only validated MC means on the spheres scene;
+    this pins the glass branch statistically (VERDICT.md weak #4).
+    """
+    from raytracer_tpu.ops.intersect import cast
+    from raytracer_tpu.scene.presets import demo_scene
+    from raytracer_tpu.scene.types import Rays
+
+    scene, textures = demo_scene()
+    world = OracleWorld(scene, textures)
+    w, h, depth = 16, 12, 3
+    clips = jnp.asarray(clip_coords(w, h))
+    o, d = camera_ops.shoot(demo_camera(), clips)
+    hits = cast(scene, Rays.primary(o, d))
+    transp = np.asarray(scene.mat_transparency)[np.asarray(hits.obj)]
+    idx = np.where(np.asarray(hits.valid) & (transp > 0.5))[0][:8]
+    assert len(idx) >= 4, "demo camera must see glass"
+    o_sel = o[jnp.asarray(idx)]
+    d_sel = d[jnp.asarray(idx)]
+
+    cfg = RenderConfig(depth=depth)
+    jit_mc = jax.jit(
+        lambda key: trace_distributed(scene, textures, o_sel, d_sel, key,
+                                      cfg).photon
+    )
+    trials_fw = 800
+    base = jax.random.PRNGKey(11)
+    acc = np.zeros((len(idx), 3))
+    for e in range(trials_fw):
+        acc += np.asarray(jit_mc(jax.random.fold_in(base, e)))
+    mean_fw = acc / trials_fw
+
+    rng = np.random.default_rng(77)
+    trials_or = 500
+    on = np.asarray(o_sel, np.float64)
+    dn = np.asarray(d_sel, np.float64)
+    acc_o = np.zeros((len(idx), 3))
+    for i in range(len(idx)):
+        hit = world.cast(on[i], dn[i])
+        assert hit is not None
+        tot = np.zeros(3)
+        for _ in range(trials_or):
+            ph = world.distributed_ray_trace(rng, depth, hit)
+            if np.all(np.isfinite(ph)) and np.all(
+                np.abs(ph) >= np.finfo(np.float32).tiny
+            ):
+                tot += ph
+        acc_o[i] = tot / trials_or
+    diff = np.abs(mean_fw - acc_o)
+    # glass paths are higher-variance than the flat spheres scene (specular
+    # lobes + decay): compare medians and bound the tail
+    assert np.median(diff) < 0.12, f"median diff {np.median(diff)}"
+    assert (diff < 0.8).mean() > 0.9, f"large-diff fraction {(diff >= 0.8).mean()}"
