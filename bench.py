@@ -84,6 +84,33 @@ def main() -> int:
         "depth": cfg.depth,
     }
 
+    # --- large-mesh metric: blocked-kernel traversal on a >=10k-tri scene
+    # (BASELINE.json north-star clause "BVH traversed in-kernel"; the
+    # blocked chunk-gated layout is this framework's TPU-native form of
+    # that, scene/blocked.py).  11,262-triangle terrain + dielectrics.
+    if not os.environ.get("RAYTPU_BENCH_FAST"):
+        from raytracer_tpu.scene.presets import mesh_scene
+
+        m_scene, m_tex, m_cam = mesh_scene(grid=75)
+        m_cfg = RenderConfig(width=1024, height=1024, depth=5,
+                             tile_rays=1 << 16)
+        img_m, _ = render_whitted(m_scene, m_tex, m_cam, m_cfg)
+        img_m.block_until_ready()  # compile warmup
+        m_best, m_casts = float("inf"), 0
+        for _ in range(3):
+            t0 = time.time()
+            img_m, m_stats = render_whitted(m_scene, m_tex, m_cam, m_cfg)
+            img_m.block_until_ready()
+            dt = time.time() - t0
+            if dt < m_best:
+                m_best, m_casts = dt, m_stats["casts"]
+        log(f"mesh 11k-tri whitted frame: {m_best * 1e3:.0f} ms, "
+            f"{m_casts / m_best / 1e6:.1f} Mrays/s, "
+            f"dropped={m_stats['dropped']}")
+        result["mesh11k_mrays_per_sec"] = round(m_casts / m_best / 1e6, 2)
+        result["mesh11k_frame_seconds"] = round(m_best, 4)
+        result["mesh11k_tris"] = int(m_scene.n_tri)
+
     # --- second metric: the FULL reference schedule, end-to-end ---
     # Exactly what src/main.rs:1084-1173 does: 1280x960, depth 5, Whitted
     # pass + 100 stochastic epochs, percentile renorm + atomic PNG after
