@@ -57,17 +57,24 @@ _GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 
 
 @pytest.mark.parametrize(
-    "name,maker",
+    "name,maker,min_db",
     [
-        ("01-spheres", spheres_scene),
-        ("02-triangles", triangles_scene),
-        ("03-recursive", recursive_scene),
-        ("06-obj", obj_scene),
-        ("demo", None),
+        # thresholds ~half the measured headroom (67.9/41.7/131.3/145.8/
+        # 85.4 dB); 02's margin is genuinely smaller — its procedural
+        # textures evaluate trig in f32 on-device vs f64 in the oracle.
+        # Mutation check (2026-08-16): a one-line semantic mutation in
+        # trace.py (reflect weight dropping its (1-transparency) factor)
+        # fails 03-recursive here; a Phong-energy mutation in materials.py
+        # fails tests/test_shade.py.
+        ("01-spheres", spheres_scene, 60),
+        ("02-triangles", triangles_scene, 40),
+        ("03-recursive", recursive_scene, 60),
+        ("06-obj", obj_scene, 60),
+        ("demo", None, 60),
     ],
     ids=["01-spheres", "02-triangles", "03-recursive", "06-obj", "demo"],
 )
-def test_preset_matches_committed_oracle_depth5(name, maker):
+def test_preset_matches_committed_oracle_depth5(name, maker, min_db):
     """Full-depth (5) parity at 64x48 against committed oracle renders —
     every preset including the complete demo scene (VERDICT.md round 1
     weak #4: depth-5 values were previously never compared anywhere)."""
@@ -82,4 +89,4 @@ def test_preset_matches_committed_oracle_depth5(name, maker):
     img, stats = render_whitted(scene, textures, demo_camera(), cfg)
     assert stats["dropped"] == 0
     psnr = _psnr(img, golden)
-    assert psnr > 40, f"PSNR {psnr:.1f} dB vs committed oracle"
+    assert psnr > min_db, f"PSNR {psnr:.1f} dB vs committed oracle"
