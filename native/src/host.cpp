@@ -54,7 +54,9 @@ void put_chunk(std::string* s, const char tag[4], const std::string& payload) {
 
 }  // namespace
 
-// Encode [h, w, 3] u8 as PNG (color type 2, filter 0) and write it to
+// Encode [h, w, 3] u8 as PNG (color type 2, filter 0, zlib level 1 —
+// this encoder runs once per progressive epoch on a single host core, so
+// encode speed beats a few percent of file size) and write it to
 // `path` via tmp-file + atomic rename, mirroring the reference's crash-safe
 // progressive output (src/main.rs:764-776).  Returns 0 on success.
 int rt_write_png_atomic(const char* path, const uint8_t* rgb, uint32_t w,
@@ -69,7 +71,7 @@ int rt_write_png_atomic(const char* path, const uint8_t* rgb, uint32_t w,
   uLongf bound = compressBound(static_cast<uLong>(raw.size()));
   std::vector<uint8_t> compressed(bound);
   if (compress2(compressed.data(), &bound, raw.data(),
-                static_cast<uLong>(raw.size()), 6) != Z_OK) {
+                static_cast<uLong>(raw.size()), 1) != Z_OK) {
     return 1;
   }
 

@@ -65,7 +65,9 @@ def _whitted_frame(scene: Scene, camera: Camera, clips_tiled, textures,
         return res.color, res.casts, res.dropped
 
     colors, casts, dropped = jax.lax.map(tile, clips_tiled)
-    return colors, jnp.sum(casts), jnp.sum(dropped)
+    # counters ride as ONE vector: every separate scalar fetch costs a
+    # full tunnel round-trip (~28 ms measured) on a remote-attached chip
+    return colors, jnp.stack([jnp.sum(casts), jnp.sum(dropped)])
 
 
 @partial(jax.jit, static_argnums=(4, 5))
@@ -88,7 +90,7 @@ def _mc_frame(scene: Scene, camera: Camera, clips_tiled, key, textures,
         return res.photon, res.casts, res.filtered
 
     photons, casts, filtered = jax.lax.map(tile, (clips_tiled, keys))
-    return photons, jnp.sum(casts), jnp.sum(filtered)
+    return photons, jnp.stack([jnp.sum(casts), jnp.sum(filtered)])
 
 
 _CLIPS_CACHE: dict = {}
@@ -152,15 +154,16 @@ def render_whitted(
     clips_tiled, pad, inv = _tiled_clips(
         cfg, block_order=scene.blk_perm is not None
     )
-    colors, casts, dropped = _whitted_frame(scene, camera, clips_tiled,
-                                            textures, cfg)
+    colors, counters = _whitted_frame(scene, camera, clips_tiled,
+                                      textures, cfg)
     flat = colors.reshape(-1, 3)[:n]
     if inv is not None:
         flat = flat[inv]
     img = flat.reshape(cfg.height, cfg.width, 3)
+    counters = np.asarray(counters)  # one fetch for both counters
     return img, {
-        "casts": int(casts),
-        "dropped": int(dropped),
+        "casts": int(counters[0]),
+        "dropped": int(counters[1]),
         "primary_rays": n,
     }
 
@@ -178,16 +181,17 @@ def render_distributed_epoch(
     clips_tiled, pad, inv = _tiled_clips(
         cfg, block_order=scene.blk_perm is not None
     )
-    photons, casts, filtered = _mc_frame(scene, camera, clips_tiled, key,
-                                         textures, cfg)
+    photons, counters = _mc_frame(scene, camera, clips_tiled, key,
+                                  textures, cfg)
     flat = photons.reshape(-1, 3)[:n]
     if inv is not None:
         flat = flat[inv]
     img = flat.reshape(cfg.height, cfg.width, 3)
+    counters = np.asarray(counters)  # one fetch for both counters
     # when the pixel count is not tile-aligned, stats include the padding
     # rays (their photons are discarded above)
     return img, {
-        "casts": int(casts),
-        "filtered": int(filtered),
+        "casts": int(counters[0]),
+        "filtered": int(counters[1]),
         "primary_rays": n,
     }
