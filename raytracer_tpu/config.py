@@ -50,9 +50,14 @@ class RenderConfig:
     # overflow is counted in TraceResult.dropped, never silent.
     deep_capacity: float = 2.0
     # Pool width for tail bounce levels (level >= 3): live rays are at
-    # most ~0.45n entering level 3 on the demo scene.  Same counted-
-    # overflow contract.
+    # most ~0.45n entering level 3 on the demo scene.  The pool also holds
+    # zombie lanes (alive=False, pending radiance undelivered —
+    # ops/trace.py Pool) which are compute-free (dead-tile skipped) yet
+    # occupy capacity; their pressure is mostly a small-frame effect, so
+    # trace_whitted adds a fixed `tail_slack` on top of the factor rather
+    # than widening large frames.  Same counted-overflow contract.
     tail_capacity: float = 1.5
+    tail_slack: int = 2048
     # Rays move through compaction in groups of this many (one scatter row
     # per group; TPU scatters pay ~8 ns per row, so coarser groups make
     # compaction ~group-times cheaper at some pool-occupancy cost).

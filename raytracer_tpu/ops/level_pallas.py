@@ -9,12 +9,16 @@ path runs the same level as ~6 dispatches (sweep kernel, one-hot attribute
 matmuls, material eval, shadow kernel, march kernel, child elementwise)
 with every [K]-sized intermediate round-tripping HBM.
 
+Radiance delivery follows the pending chain (ops/trace.py Pool): `direct`
+levels (identity-slot or final) emit their radiance through `contrib`;
+other pooled levels fold it into exactly one child's `pending` rows so the
+framebuffer pays one scatter-add per frame instead of one per level.
+
 Group compaction of the emitted children and the framebuffer scatter-add
 stay OUTSIDE (ops/trace.py) — they are cross-tile operations.
 
-`last` (the level-is-final flag that suppresses children and the local
-shade weight, main.rs:488-490) arrives as a traced SMEM scalar so the
-deep-level fori_loop keeps a single compiled kernel.
+`last`/`direct` are STATIC: the final level is peeled out of the tail loop
+(trace.py), so each level position compiles its own kernel variant once.
 """
 
 from __future__ import annotations
@@ -33,19 +37,19 @@ from raytracer_tpu.scene.types import FACE_BACK, FACE_FRONT, Scene
 _BIG = kc._BIG
 
 
-def _level_kernel(last_ref, o_ref, d_ref, meta_ref, cs_ref, g1_ref,
+def _level_kernel(o_ref, d_ref, meta_ref, cs_ref, g1_ref,
                   g2_ref, sph_ref, mat_ref, mat_T_ref, light_ref,
                   contrib_ref, rchild_f_ref, rchild_i_ref, fchild_f_ref,
                   fchild_i_ref, casts_ref,
-                  *, blocked: bool, n_chunks: int,
+                  *, last: bool, direct: bool, blocked: bool, n_chunks: int,
                   n_tri: int, n_sph: int, n_light: int, threshold: float,
                   max_distance: float, max_retries: int, textures):
     """meta rows: face, excl_prim, excl_face, slot, alive (i32).
-    cs rows: c (contribution), s (scale).
+    cs rows: c (contribution), s (scale), pending rgb.
     g1/g2: dense (tri [T,34], tri_T [34,T]) or blocked (tblk [T_pad,48],
     boxes8 [NCH*8,8]) geometry operands (kernel_common Geom strategies).
-    Child outputs: floats [8,R] = o(3), d(3), c, s; ints [5,R] =
-    face, excl_prim, excl_face, slot, alive."""
+    Child outputs: floats [11,R] = o(3), d(3), c, s, pending(3); ints
+    [5,R] = face, excl_prim, excl_face, slot, alive."""
     o = (o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :])
     d = (d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :])
     face = meta_ref[0:1, :]
@@ -55,6 +59,7 @@ def _level_kernel(last_ref, o_ref, d_ref, meta_ref, cs_ref, g1_ref,
     alive = meta_ref[4:5, :] != 0
     c = cs_ref[0:1, :]
     s = cs_ref[1:2, :]
+    pend = (cs_ref[2:3, :], cs_ref[3:4, :], cs_ref[4:5, :])
     sph = sph_ref[:, :]
     if blocked:
         geom = kc.BlockedGeom(g1_ref, g2_ref, sph, n_tri, n_sph, n_chunks)
@@ -64,42 +69,49 @@ def _level_kernel(last_ref, o_ref, d_ref, meta_ref, cs_ref, g1_ref,
     mat_T = mat_T_ref[:, :]
     lights = light_ref[:, :]
     shape = (1, o[0].shape[1])
-    # traced level-is-last flag, lifted to a lane row for masking
-    not_last = jnp.zeros(shape, jnp.int32) + last_ref[0] == 0
 
     # Compaction packs live groups to the FRONT of the pool, so a tile past
-    # the live prefix is entirely dead — skip its sweeps/shade/march and
-    # emit dead outputs for the cost of one any() check.
+    # the live prefix has no rays to trace — skip its sweeps/shade/march
+    # for one any() check.  Zombie lanes (alive=0, pending != 0) may still
+    # sit here: their pending is delivered (direct) or forwarded on the
+    # reflect child (pooled) without any geometry work.
     @pl.when(jnp.logical_not(jnp.any(alive)))
     def _():
         zf = jnp.zeros((1, shape[1]), jnp.float32)
         zi = jnp.zeros((1, shape[1]), jnp.int32)
-        for r in range(3):
-            contrib_ref[r : r + 1, :] = zf
-        for r in range(8):
+        for r in range(11):
             rchild_f_ref[r : r + 1, :] = zf
             fchild_f_ref[r : r + 1, :] = zf
         for r in range(5):
             rchild_i_ref[r : r + 1, :] = zi
             fchild_i_ref[r : r + 1, :] = zi
+        if direct:
+            for r in range(3):
+                contrib_ref[r : r + 1, :] = pend[r]
+        else:
+            for r in range(3):
+                contrib_ref[r : r + 1, :] = zf
+            for r in range(3):  # pending rides the reflect child
+                rchild_f_ref[8 + r : 9 + r, :] = pend[r]
+            rchild_i_ref[3:4, :] = slot
         casts_ref[:, :] = zi
 
     @pl.when(jnp.any(alive))
     def _():
         _level_body(o, d, face, excl_prim, excl_face, slot, alive, c, s,
-                    not_last, geom, mat_t, mat_T, lights,
+                    pend, geom, mat_t, mat_T, lights,
                     contrib_ref, rchild_f_ref, rchild_i_ref, fchild_f_ref,
                     fchild_i_ref, casts_ref,
-                    n_light=n_light,
+                    last=last, direct=direct, n_light=n_light,
                     threshold=threshold, max_distance=max_distance,
                     max_retries=max_retries, textures=textures)
 
 
 def _level_body(o, d, face, excl_prim, excl_face, slot, alive, c, s,
-                not_last, geom, mat_t, mat_T, lights,
+                pend, geom, mat_t, mat_T, lights,
                 contrib_ref, rchild_f_ref, rchild_i_ref, fchild_f_ref,
                 fchild_i_ref, casts_ref,
-                *, n_light, threshold, max_distance,
+                *, last, direct, n_light, threshold, max_distance,
                 max_retries, textures):
     shape = (1, o[0].shape[1])
 
@@ -123,14 +135,32 @@ def _level_body(o, d, face, excl_prim, excl_face, slot, alive, c, s,
         -d[0], -d[1], -d[2], need_shade, sweep, n_light,
     )
     casts = casts + cnt
-    coef = jnp.where(not_last, s * shade_c, s)
-    contrib_ref[0:1, :] = jnp.where(need_shade, shr * coef, 0.0)
-    contrib_ref[1:2, :] = jnp.where(need_shade, shg * coef, 0.0)
-    contrib_ref[2:3, :] = jnp.where(need_shade, shb * coef, 0.0)
+    coef = s if last else s * shade_c
+    p_new = (
+        pend[0] + jnp.where(need_shade, shr * coef, 0.0),
+        pend[1] + jnp.where(need_shade, shg * coef, 0.0),
+        pend[2] + jnp.where(need_shade, shb * coef, 0.0),
+    )
+
+    if last:
+        # final level: no children (main.rs:488-490) — deliver pending +
+        # shade through contrib, skip reflect/march entirely
+        zf = jnp.zeros(shape, jnp.float32)
+        zi = jnp.zeros(shape, jnp.int32)
+        for r in range(11):
+            rchild_f_ref[r : r + 1, :] = zf
+            fchild_f_ref[r : r + 1, :] = zf
+        for r in range(5):
+            rchild_i_ref[r : r + 1, :] = zi
+            fchild_i_ref[r : r + 1, :] = zi
+        for r in range(3):
+            contrib_ref[r : r + 1, :] = p_new[r]
+        casts_ref[:, :] = casts
+        return
 
     # reflect child (main.rs:493-500, get_reflect 328-341)
     c_r = c * refl_c
-    want_r = live & (c_r >= threshold) & not_last
+    want_r = live & (c_r >= threshold)
     fx, fy, fz = kc.reflect3(d[0], d[1], d[2], h["nx"], h["ny"], h["nz"])
     excl_face_r = jnp.where(h["backface"], FACE_FRONT, FACE_BACK)
     rchild_f_ref[0:1, :] = h["px"]
@@ -149,12 +179,13 @@ def _level_body(o, d, face, excl_prim, excl_face, slot, alive, c, s,
 
     # refract child (main.rs:502-514): whole interior march in-kernel
     c_f = c * refr_c
-    want_f = live & (c_f > threshold) & not_last  # strict > (504)
+    want_f = live & (c_f > threshold)  # strict > (504)
     mm = geom.march(h["px"], h["py"], h["pz"], h["nx"], h["ny"], h["nz"],
                     d[0], d[1], d[2], m["refraction"], want_f,
                     max_distance, max_retries)
     casts = casts + mm["iters"]
     decay = kc.powf(m["decay"], mm["travel"])  # opaque_decay^travel (508)
+    alive_f = want_f & mm["escaped"]
     fchild_f_ref[0:1, :] = mm["ex"]
     fchild_f_ref[1:2, :] = mm["ey"]
     fchild_f_ref[2:3, :] = mm["ez"]
@@ -167,23 +198,40 @@ def _level_body(o, d, face, excl_prim, excl_face, slot, alive, c, s,
     fchild_i_ref[1:2, :] = mm["prim"]
     fchild_i_ref[2:3, :] = jnp.full(shape, FACE_BACK, jnp.int32)
     fchild_i_ref[3:4, :] = slot
-    fchild_i_ref[4:5, :] = (want_f & mm["escaped"]).astype(jnp.int32)
+    fchild_i_ref[4:5, :] = alive_f.astype(jnp.int32)
+
+    # radiance delivery: direct levels emit through contrib; pooled levels
+    # ride p_new on exactly one child (reflect by default — including the
+    # zombie case where both children died — refract when only it lives)
+    zf = jnp.zeros(shape, jnp.float32)
+    if direct:
+        for r in range(3):
+            contrib_ref[r : r + 1, :] = p_new[r]
+            rchild_f_ref[8 + r : 9 + r, :] = zf
+            fchild_f_ref[8 + r : 9 + r, :] = zf
+    else:
+        carrier_f = (~want_r) & alive_f
+        for r in range(3):
+            contrib_ref[r : r + 1, :] = zf
+            rchild_f_ref[8 + r : 9 + r, :] = jnp.where(carrier_f, 0.0, p_new[r])
+            fchild_f_ref[8 + r : 9 + r, :] = jnp.where(carrier_f, p_new[r], 0.0)
 
     casts_ref[:, :] = casts
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("textures", "threshold", "max_distance", "max_retries",
-                     "interpret"),
+    static_argnames=("textures", "last", "direct", "threshold",
+                     "max_distance", "max_retries", "interpret"),
 )
 def process_level(scene: Scene, textures, pool_o, pool_d, pool_face,
                   pool_excl_prim, pool_excl_face, pool_slot, pool_c, pool_s,
-                  pool_alive, last, threshold: float, max_distance: float,
+                  pool_pending, pool_alive, last: bool, direct: bool,
+                  threshold: float, max_distance: float,
                   max_retries: int, interpret: bool = False):
     """Run one fused wavefront level over a K-slot pool.
 
-    `last` is a traced bool/int scalar.  Returns (contrib [K,3],
+    `last`/`direct` are static bools.  Returns (contrib [K,3],
     reflect_child dict, refract_child dict, casts scalar) with child dicts
     holding the Pool field arrays (ops/trace.py assembles them)."""
     n = pool_o.shape[0]
@@ -198,7 +246,9 @@ def process_level(scene: Scene, textures, pool_o, pool_d, pool_face,
     d_t = prep_rows(pool_d.T)
     meta = prep_rows(jnp.stack([pool_face, pool_excl_prim, pool_excl_face,
                                 pool_slot, pool_alive.astype(jnp.int32)]))
-    cs = prep_rows(jnp.stack([pool_c, pool_s]))
+    cs = prep_rows(jnp.concatenate(
+        [jnp.stack([pool_c, pool_s]), pool_pending.T], axis=0
+    ))
     blocked = scene.blk_perm is not None and scene.n_tri > 0
     if blocked:
         g1 = kc.pack_tri_blocked(scene)  # [T_pad, 48]
@@ -212,10 +262,10 @@ def process_level(scene: Scene, textures, pool_o, pool_d, pool_face,
     mat_t = kc.pack_materials(scene)
     mat_T = mat_t.T
     lights = kc.pack_lights(scene)
-    last_s = jnp.asarray(last, jnp.int32).reshape((1,))
 
     kernel = functools.partial(
-        _level_kernel, blocked=blocked, n_chunks=n_chunks,
+        _level_kernel, last=last, direct=direct,
+        blocked=blocked, n_chunks=n_chunks,
         n_tri=scene.n_tri, n_sph=scene.n_sph,
         n_light=scene.n_light, threshold=threshold,
         max_distance=max_distance, max_retries=max_retries, textures=textures,
@@ -229,26 +279,26 @@ def process_level(scene: Scene, textures, pool_o, pool_d, pool_face,
         kernel,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            row(3), row(3), row(5), row(2),
+            row(3), row(3), row(5), row(5),
             const(g1), const(g2), const(sph), const(mat_t),
             const(mat_T), const(lights),
         ],
-        out_specs=[row(3), row(8), row(5), row(8), row(5), row(1)],
+        out_specs=[row(3), row(11), row(5), row(11), row(5), row(1)],
         out_shape=[
             jax.ShapeDtypeStruct((3, npad), jnp.float32),
-            jax.ShapeDtypeStruct((8, npad), jnp.float32),
+            jax.ShapeDtypeStruct((11, npad), jnp.float32),
             jax.ShapeDtypeStruct((5, npad), jnp.int32),
-            jax.ShapeDtypeStruct((8, npad), jnp.float32),
+            jax.ShapeDtypeStruct((11, npad), jnp.float32),
             jax.ShapeDtypeStruct((5, npad), jnp.int32),
             jax.ShapeDtypeStruct((1, npad), jnp.int32),
         ],
         interpret=interpret,
-    )(last_s, o_t, d_t, meta, cs, g1, g2, sph, mat_t, mat_T, lights)
+    )(o_t, d_t, meta, cs, g1, g2, sph, mat_t, mat_T, lights)
 
     def child(f, i):
         return dict(
             o=f[0:3, :n].T, d=f[3:6, :n].T, c=f[6, :n], s=f[7, :n],
+            pending=f[8:11, :n].T,
             face=i[0, :n], excl_prim=i[1, :n], excl_face=i[2, :n],
             slot=i[3, :n], alive=i[4, :n] != 0,
         )

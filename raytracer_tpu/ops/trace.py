@@ -219,7 +219,18 @@ def refract_march(
 
 @dataclasses.dataclass(frozen=True)
 class Pool:
-    """Bounded wavefront ray pool (one level of the flattened recursion)."""
+    """Bounded wavefront ray pool (one level of the flattened recursion).
+
+    `pending` is the lane's accumulated-but-undelivered radiance for its
+    pixel slot: pooled levels do NOT scatter their shade into the
+    framebuffer (a [K]-row scatter-add per level was ~25% of frame time);
+    instead the shade rides DOWN the wavefront with exactly one child per
+    lane (reflect child by default, refract child when the reflect branch
+    is pruned) and the final level delivers everything in ONE scatter.  A
+    lane whose children are all pruned becomes a zombie: alive=False but
+    pending != 0 — compaction keeps it (it skips all sweep work via the
+    alive mask) purely to deliver its radiance at the end.
+    """
 
     o: jnp.ndarray  # [K, 3]
     d: jnp.ndarray  # [K, 3]
@@ -229,6 +240,7 @@ class Pool:
     slot: jnp.ndarray  # [K] output pixel index
     c: jnp.ndarray  # [K] contribution (threshold bookkeeping, main.rs:668-680)
     s: jnp.ndarray  # [K] accumulated scale incl. opaque decay
+    pending: jnp.ndarray  # [K, 3] undelivered radiance for `slot`
     alive: jnp.ndarray  # [K]
 
     def rays(self) -> Rays:
@@ -240,7 +252,8 @@ class Pool:
 
 Pool = partial(
     jax.tree_util.register_dataclass,
-    data_fields=["o", "d", "face", "excl_prim", "excl_face", "slot", "c", "s", "alive"],
+    data_fields=["o", "d", "face", "excl_prim", "excl_face", "slot", "c",
+                 "s", "pending", "alive"],
     meta_fields=[],
 )(Pool)
 
@@ -255,6 +268,7 @@ def _empty_pool(k: int, dtype=jnp.float32) -> dict:
         slot=jnp.zeros((k,), jnp.int32),
         c=jnp.zeros((k,), dtype),
         s=jnp.zeros((k,), dtype),
+        pending=jnp.zeros((k, 3), dtype),
         alive=jnp.zeros((k,), bool),
     )
 
@@ -299,29 +313,35 @@ def _compact(candidates: Pool, k: int, group: int = 8):
             candidates.d,
             candidates.c[:, None],
             candidates.s[:, None],
+            candidates.pending,
             jax.lax.bitcast_convert_type(ints, jnp.float32),
         ],
         axis=1,
-    )  # [C, 13] — int fields ride as raw bits
+    )  # [C, 16] — int fields ride as raw bits
 
-    galive = alive.reshape(ng_in, group)
-    gkeep = jnp.any(galive, axis=1)
-    gcount = jnp.sum(galive, axis=1, dtype=jnp.int32)
+    # keep groups that still trace OR still owe radiance (zombie lanes);
+    # dropped counts BOTH kinds of lost lanes so radiance loss is never
+    # silent
+    keep = alive | jnp.any(candidates.pending != 0.0, axis=1)
+    gkeepl = keep.reshape(ng_in, group)
+    gkeep = jnp.any(gkeepl, axis=1)
+    gcount = jnp.sum(gkeepl, axis=1, dtype=jnp.int32)
     order = jnp.cumsum(gkeep.astype(jnp.int32)) - 1  # destination group
     dest = jnp.where(gkeep & (order < ng_out), order, ng_out)
     dropped = jnp.sum(jnp.where(gkeep & (order >= ng_out), gcount, 0))
 
-    wide = payload.reshape(ng_in, group * 13)
-    new = jnp.zeros((ng_out, group * 13), payload.dtype).at[dest].set(
+    wide = payload.reshape(ng_in, group * 16)
+    new = jnp.zeros((ng_out, group * 16), payload.dtype).at[dest].set(
         wide, mode="drop"
-    ).reshape(k, 13)
-    new_i = jax.lax.bitcast_convert_type(new[:, 8:13], jnp.int32)
+    ).reshape(k, 16)
+    new_i = jax.lax.bitcast_convert_type(new[:, 11:16], jnp.int32)
 
     pool = Pool(
         o=new[:, 0:3],
         d=new[:, 3:6],
         c=new[:, 6],
         s=new[:, 7],
+        pending=new[:, 8:11],
         face=new_i[:, 0],
         excl_prim=new_i[:, 1],
         excl_face=new_i[:, 2],
@@ -337,20 +357,36 @@ class TraceResult(NamedTuple):
     dropped: jnp.ndarray  # scalar: rays lost to pool overflow (want 0)
 
 
-def _process_level(scene, textures, cfg, pool: Pool, img, casts, last,
+def _process_level(scene, textures, cfg, pool: Pool, img, casts, last: bool,
                    identity_slots: bool | str):
     """One wavefront level == one recursion depth of ray_trace.
 
-    Returns (candidate children [2*width], img, casts).  `last` may be a
-    traced bool (inside fori_loop) or a python bool; children are
-    mask-gated by ~last so the final level just stops emitting.
+    Returns (candidate children [2*width], img, casts).  `last` is a
+    STATIC python bool (the final level is peeled out of the tail loop);
+    children are suppressed at the last level.
     `identity_slots`: True for the primary level (pool.slot == arange(n) —
     plain add), "doubled" for level 1 (slots are arange(n) twice — two
-    plain adds), False for general levels (scatter-add).
+    plain adds), False for general levels.
+
+    Radiance delivery: levels with `direct` (identity/doubled slots, or
+    the last level) add/scatter their contribution immediately; other
+    pooled levels ride it down the wavefront as `pending` (see Pool) so
+    the framebuffer pays ONE scatter-add total instead of one per level.
     """
     thr = cfg.threshold
     width = pool.o.shape[0]
-    last = jnp.asarray(last, bool)  # python bool's ~ is integer bitwise-not
+    assert isinstance(last, bool)
+    direct = bool(identity_slots) or last
+
+    def deliver(img, contrib):
+        if identity_slots == "doubled":
+            half = img.shape[0]
+            return img + contrib[:half] + contrib[half : 2 * half]
+        if identity_slots:
+            return img + contrib
+        if last:
+            return img.at[pool.slot].add(contrib)
+        return img  # pooled non-last: rides `pending` with the children
 
     from raytracer_tpu.ops.intersect import _pallas_choice
     from raytracer_tpu.ops.kernel_common import kernel_textures_ok
@@ -367,18 +403,13 @@ def _process_level(scene, textures, cfg, pool: Pool, img, casts, last,
 
         contrib, ch_r, ch_f, lvl_casts = level_pallas.process_level(
             scene, textures, pool.o, pool.d, pool.face, pool.excl_prim,
-            pool.excl_face, pool.slot, pool.c, pool.s, pool.alive, last,
+            pool.excl_face, pool.slot, pool.c, pool.s, pool.pending,
+            pool.alive, last, direct,
             cfg.threshold, cfg.max_refract_distance, cfg.max_tir_retries,
             interpret=interp,
         )
         casts = casts + lvl_casts
-        if identity_slots == "doubled":
-            half = img.shape[0]
-            img = img + contrib[:half] + contrib[half : 2 * half]
-        elif identity_slots:
-            img = img + contrib
-        else:
-            img = img.at[pool.slot].add(contrib)
+        img = deliver(img, contrib)
         candidates = jax.tree.map(
             lambda a, b: jnp.concatenate([a, b], axis=0),
             Pool(**ch_r), Pool(**ch_f),
@@ -405,45 +436,54 @@ def _process_level(scene, textures, cfg, pool: Pool, img, casts, last,
     )
     for sc in shadow_counters:
         casts = casts + sc
-    coef = jnp.where(last, pool.s, pool.s * shade_c)
-    contrib = jnp.where(need_shade[:, None], shade * coef[:, None], 0.0)
-    if identity_slots == "doubled":
-        half = img.shape[0]
-        img = img + contrib[:half] + contrib[half : 2 * half]
-    elif identity_slots:
-        img = img + contrib
-    else:
-        img = img.at[pool.slot].add(contrib)
+    coef = pool.s if last else pool.s * shade_c
+    local = jnp.where(need_shade[:, None], shade * coef[:, None], 0.0)
+    p_new = pool.pending + local
+    img = deliver(img, p_new if last else local)
 
     # --- reflect child (main.rs:493-500, get_reflect 328-341) ---
     c_r = pool.c * refl_c
-    want_r = live & (c_r >= thr) & ~last
+    want_r = live & (c_r >= thr) & (not last)
     refl = vec.reflect(pool.d, hits.normal)
     refl = refl / jnp.maximum(vec.norm(refl), 1e-30)[:, None]
     # exclusion face = hit face inverted (341): FRONT hit -> BACK
     excl_face_r = jnp.where(hits.backface, FACE_FRONT, FACE_BACK).astype(jnp.int32)
-    child_r = Pool(
-        o=hits.pos, d=refl, face=pool.face,
-        excl_prim=hits.prim, excl_face=excl_face_r,
-        slot=pool.slot, c=c_r, s=pool.s * refl_c, alive=want_r,
-    )
 
     # --- refract child (main.rs:502-514) ---
     c_f = pool.c * refr_c
-    want_f = live & (c_f > thr) & ~last  # strict > (504)
+    want_f = live & (c_f > thr) & (not last)  # strict > (504)
     march = refract_march(
         scene, hits.pos, hits.normal, pool.d, hits.prim, mat.refraction,
         want_f, cfg,
     )
     casts = casts + march.casts
     decay = jnp.power(mat.decay, march.travel)  # opaque_decay^travel (508)
+    alive_f = want_f & march.escaped
+
+    # pending carrier: reflect child by default (also when BOTH children
+    # are dead — the zombie case), refract child when only it survives.
+    # Direct levels deliver immediately and their children start clean.
+    if direct:
+        zero3 = jnp.zeros((width, 3), pool.o.dtype)
+        pend_r, pend_f = zero3, zero3
+    else:
+        carrier_f = (~want_r) & alive_f
+        pend_r = jnp.where(carrier_f[:, None], 0.0, p_new)
+        pend_f = jnp.where(carrier_f[:, None], p_new, 0.0)
+
+    child_r = Pool(
+        o=hits.pos, d=refl, face=pool.face,
+        excl_prim=hits.prim, excl_face=excl_face_r,
+        slot=pool.slot, c=c_r, s=pool.s * refl_c, pending=pend_r,
+        alive=want_r,
+    )
     child_f = Pool(
         o=march.esc_o, d=march.esc_d,
         face=jnp.full((width,), FACE_FRONT, jnp.int32),
         excl_prim=march.esc_prim,
         excl_face=jnp.full((width,), FACE_BACK, jnp.int32),
-        slot=pool.slot, c=c_f, s=pool.s * refr_c * decay,
-        alive=want_f & march.escaped,
+        slot=pool.slot, c=c_f, s=pool.s * refr_c * decay, pending=pend_f,
+        alive=alive_f,
     )
 
     candidates = jax.tree.map(
@@ -484,6 +524,7 @@ def trace_whitted(
         slot=jnp.arange(n, dtype=jnp.int32),
         c=jnp.ones((n,), ray_o.dtype),
         s=jnp.ones((n,), ray_o.dtype),
+        pending=jnp.zeros((n, 3), ray_o.dtype),
         alive=jnp.ones((n,), bool),
     )
     cands, img, casts = _process_level(
@@ -528,7 +569,11 @@ def trace_whitted(
         return TraceResult(color=img, casts=casts, dropped=dropped)
 
     # Tail levels (>= 3): live rays have decayed again; narrow once more.
-    k3 = max(128, -(-int(n * cfg.tail_capacity) // 128) * 128)
+    # Fixed slack absorbs zombie-lane (pending-carrier) pressure, which is
+    # an absolute overhead that dominates only on small frames.
+    k3 = max(
+        128, -(-(int(n * cfg.tail_capacity) + cfg.tail_slack) // 128) * 128
+    )
     pool3, drop = _compact(cands, k3, cfg.compact_group)
     dropped = dropped + drop
 
