@@ -28,9 +28,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from functools import partial
+
 from raytracer_tpu.config import RenderConfig
 from raytracer_tpu.ops.tonemap import post_process
-from raytracer_tpu.render import render_distributed_epoch, render_whitted
+from raytracer_tpu.render import (
+    _mc_frame,
+    _tiled_clips,
+    render_distributed_epoch,
+    render_whitted,
+)
 from raytracer_tpu.scene.types import Camera, Scene
 from raytracer_tpu.utils import color as color_utils
 from raytracer_tpu.utils.png import write_png_atomic
@@ -41,6 +48,30 @@ class ProgressiveState:
     img: jnp.ndarray  # [H, W, 3] accumulated (and renormalized) buffer
     epoch: int
     seed: int
+
+
+@partial(jax.jit, static_argnums=(6, 7))
+def _epoch_step(scene: Scene, camera: Camera, clips_tiled, prev_img,
+                base_key, epoch, textures, cfg: RenderConfig, inv):
+    """One full progressive epoch in ONE dispatch: MC frame + accumulate +
+    in-place percentile renorm (main.rs:1163-1171) + sRGB u8 encode.
+
+    Each separate dispatch through a remote-attached chip costs a ~28 ms
+    round-trip (docs/PERF.md), so the epoch loop's five device steps
+    (fold_in, frame, add, post_process, u8) fuse into one jitted call.
+    `prev_img` must NOT be donated: the async writer thread may still be
+    serializing the previous epoch's checkpoint from that buffer.
+    """
+    ekey = jax.random.fold_in(base_key, epoch)
+    photons, counters = _mc_frame(scene, camera, clips_tiled, ekey,
+                                  textures, cfg)
+    n = cfg.width * cfg.height
+    flat = photons.reshape(-1, 3)[:n]
+    if inv is not None:
+        flat = flat[inv]
+    img = prev_img + flat.reshape(cfg.height, cfg.width, 3)
+    img = post_process(img, cfg.percentile)
+    return img, color_utils.linear_to_u8(img), counters
 
 
 def save_checkpoint(path: str, state: ProgressiveState) -> None:
@@ -166,14 +197,32 @@ def render_progressive(
         log(f"resumed at epoch {state.epoch}")
 
     base_key = jax.random.PRNGKey(state.seed)
+    n_pix = cfg.width * cfg.height
+    fused = mesh is None
+    if fused:
+        clips_tiled, _, inv = _tiled_clips(
+            cfg, block_order=scene.blk_perm is not None
+        )
     writer = _AsyncWriter()
     try:
         while state.epoch < cfg.epochs:
             t0 = time.time()
-            ekey = jax.random.fold_in(base_key, state.epoch)
-            photons, stats = epoch_fn(ekey)
-            img = state.img + photons  # accumulate on top (main.rs:1163-1166)
-            img = post_process(img, cfg.percentile)  # in-place renorm (1171)
+            if fused:
+                # whole epoch (frame + accumulate + renorm + u8) in ONE
+                # dispatch; counters come back in one fetch
+                img, u8_dev, counters = _epoch_step(
+                    scene, camera, clips_tiled, state.img, base_key,
+                    state.epoch, textures, cfg, inv,
+                )
+                cn = np.asarray(counters)
+                stats = {"casts": int(cn[0]), "filtered": int(cn[1]),
+                         "primary_rays": n_pix}
+            else:
+                ekey = jax.random.fold_in(base_key, state.epoch)
+                photons, stats = epoch_fn(ekey)
+                img = state.img + photons  # accumulate (main.rs:1163-1166)
+                img = post_process(img, cfg.percentile)  # renorm (1171)
+                u8_dev = color_utils.linear_to_u8(img)
             dt = max(time.time() - t0, 1e-9)
             kept = stats["primary_rays"] - stats["filtered"]
             log(
@@ -182,10 +231,8 @@ def render_progressive(
             )
             state = ProgressiveState(img=img, epoch=state.epoch + 1,
                                      seed=state.seed)
-            # sRGB conversion is dispatched on-device here; the blocking
-            # host transfer + PNG encode + checkpoint run on the writer
-            # thread, overlapped with the next epoch's tracing.
-            u8_dev = color_utils.linear_to_u8(img)
+            # the blocking host transfer + PNG encode + checkpoint run on
+            # the writer thread, overlapped with the next epoch's tracing.
             snap = state
 
             def job(u8_dev=u8_dev, snap=snap):
