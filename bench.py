@@ -54,21 +54,22 @@ def main() -> int:
     photons.block_until_ready()
     log(f"mc compile+first epoch: {time.time() - t0:.1f}s, stats={mc_stats}")
 
-    # --- timed: one full progressive step (whitted frame + one MC epoch) ---
+    # --- timed: one full progressive step (whitted frame + one MC epoch,
+    # fused into a single dispatch: render_step) ---
+    from raytracer_tpu.render import render_step
+
+    img, photons, _ = render_step(scene, textures, camera, cfg, key)
     reps = 5
     best_dt, best_casts = float("inf"), 0
     for r in range(reps):
         t0 = time.time()
-        img, w_stats = render_whitted(scene, textures, camera, cfg)
-        img.block_until_ready()
-        photons, m_stats = render_distributed_epoch(
+        img, photons, stats = render_step(
             scene, textures, camera, cfg, jax.random.fold_in(key, r)
         )
-        photons.block_until_ready()
         dt = time.time() - t0
-        casts = w_stats["casts"] + m_stats["casts"]
+        casts = stats["casts"]
         log(f"rep {r}: {dt * 1e3:.0f} ms, {casts / 1e6:.1f} Mrays, "
-            f"{casts / dt / 1e6:.1f} Mrays/s")
+            f"{casts / dt / 1e6:.1f} Mrays/s, dropped={stats['dropped']}")
         if dt < best_dt:
             best_dt, best_casts = dt, casts
 

@@ -168,6 +168,47 @@ def render_whitted(
     }
 
 
+@partial(jax.jit, static_argnums=(4, 5))
+def _step_frame(scene: Scene, camera: Camera, clips_tiled, key, textures,
+                cfg: RenderConfig):
+    """One full progressive step (whitted frame + one MC epoch) in ONE
+    dispatch, all four counters in one vector — each extra dispatch/fetch
+    through a remote-attached chip costs ~28 ms (docs/PERF.md)."""
+    colors, wc = _whitted_frame(scene, camera, clips_tiled, textures, cfg)
+    photons, mc = _mc_frame(scene, camera, clips_tiled, key, textures, cfg)
+    return colors, photons, jnp.concatenate([wc, mc])
+
+
+def render_step(
+    scene: Scene, textures, camera: Camera, cfg: RenderConfig, key
+) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
+    """Whitted frame + one stochastic epoch fused into a single dispatch.
+
+    Semantically identical to render_whitted followed by
+    render_distributed_epoch with the same key; returns
+    ([H,W,3] whitted, [H,W,3] photons, stats)."""
+    n = cfg.width * cfg.height
+    clips_tiled, pad, inv = _tiled_clips(
+        cfg, block_order=scene.blk_perm is not None
+    )
+    colors, photons, counters = _step_frame(scene, camera, clips_tiled, key,
+                                            textures, cfg)
+
+    def fix(x):
+        flat = x.reshape(-1, 3)[:n]
+        if inv is not None:
+            flat = flat[inv]
+        return flat.reshape(cfg.height, cfg.width, 3)
+
+    c = np.asarray(counters)  # one fetch for all four counters
+    return fix(colors), fix(photons), {
+        "casts": int(c[0]) + int(c[2]),
+        "dropped": int(c[1]),
+        "filtered": int(c[3]),
+        "primary_rays": n,
+    }
+
+
 def render_distributed_epoch(
     scene: Scene, textures, camera: Camera, cfg: RenderConfig, key
 ) -> Tuple[jnp.ndarray, dict]:

@@ -51,3 +51,33 @@ def test_whitted_demo_depth5_runs_and_counts():
     assert stats["dropped"] == 0
     # at least one cast per primary ray, plus shadow/bounce amplification
     assert stats["casts"] > stats["primary_rays"] * 2
+
+
+def test_render_step_matches_separate_calls():
+    """render_step (whitted + epoch in one dispatch) must be semantically
+    identical to render_whitted followed by render_distributed_epoch with
+    the same key."""
+    import jax
+
+    from raytracer_tpu.render import (
+        render_distributed_epoch,
+        render_step,
+        render_whitted,
+    )
+    from raytracer_tpu.scene.presets import demo_camera, demo_scene
+
+    scene, textures = demo_scene()
+    cfg = RenderConfig(width=16, height=12, depth=3, tile_rays=16 * 12)
+    key = jax.random.PRNGKey(9)
+    img1, stats1 = render_whitted(scene, textures, demo_camera(), cfg)
+    ph1, mstats1 = render_distributed_epoch(scene, textures, demo_camera(),
+                                            cfg, key)
+    img2, ph2, stats2 = render_step(scene, textures, demo_camera(), cfg, key)
+    # one fused program lets XLA pick different fusions -> last-ulp drift
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(img2),
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ph1), np.asarray(ph2),
+                               rtol=2e-4, atol=1e-6)
+    assert stats2["casts"] == stats1["casts"] + mstats1["casts"]
+    assert stats2["dropped"] == stats1["dropped"]
+    assert stats2["filtered"] == mstats1["filtered"]
