@@ -48,7 +48,12 @@ class RenderConfig:
     # _compact), so the pool also holds each kept group's dead lanes —
     # capacities are sized for that occupancy, not just the live count;
     # overflow is counted in TraceResult.dropped, never silent.
-    deep_capacity: float = 2.0
+    # (measured on the demo scene: live candidates entering level 2 are
+    # ~0.8n mean / ~1.2n worst tile; 1.25 drops rays, 1.375 + the fixed
+    # slack below holds dropped=0 while cutting ~20 ms off the frame vs
+    # 2.0.)
+    deep_capacity: float = 1.375
+    deep_slack: int = 2048
     # Pool width for tail bounce levels (level >= 3): live rays are at
     # most ~0.45n entering level 3 on the demo scene.  The pool also holds
     # zombie lanes (alive=False, pending radiance undelivered —
@@ -56,7 +61,7 @@ class RenderConfig:
     # occupy capacity; their pressure is mostly a small-frame effect, so
     # trace_whitted adds a fixed `tail_slack` on top of the factor rather
     # than widening large frames.  Same counted-overflow contract.
-    tail_capacity: float = 1.5
+    tail_capacity: float = 1.375
     tail_slack: int = 2048
     # Rays move through compaction in groups of this many (one scatter row
     # per group; TPU scatters pay ~8 ns per row, so coarser groups make

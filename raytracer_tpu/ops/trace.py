@@ -557,7 +557,9 @@ def trace_whitted(
     # Deep bounce levels (>= 2) run in a narrower pool: live rays decay to
     # ~0.3-0.6n there (absorption + threshold pruning), so paying 2n-wide
     # sweeps is waste.  Overflow is counted.
-    k2 = max(128, -(-int(n * cfg.deep_capacity) // 128) * 128)
+    k2 = max(
+        128, -(-(int(n * cfg.deep_capacity) + cfg.deep_slack) // 128) * 128
+    )
 
     pool2, drop = _compact(cands, k2, cfg.compact_group)  # level-2 entry
     dropped = dropped + drop
