@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-from raytracer_tpu.scene.blocked import BLK_CHUNK
+from raytracer_tpu.scene.blocked import BLK_CHUNK, SUP_CHUNKS
 from raytracer_tpu.scene.types import FACE_BACK, FACE_FRONT, Scene
 
 _BIG = 3.0e38
@@ -833,6 +833,22 @@ def pack_boxes8(scene: Scene) -> jnp.ndarray:
     return jnp.repeat(scene.blk_box, 8, axis=0)
 
 
+def pack_sup8(scene: Scene) -> jnp.ndarray:
+    """[NSUP*8, 8] supergroup AABBs (union of SUP_CHUNKS chunk boxes),
+    replicated 8x like pack_boxes8.  One outer slab test gates 8 chunks
+    (1024 triangles) at once; pad chunks carry inverted boxes so the
+    union stays correct."""
+    b = scene.blk_box
+    nsup = b.shape[0] // SUP_CHUNKS
+    g = b.reshape(nsup, SUP_CHUNKS, 8)
+    sup = jnp.concatenate(
+        [jnp.min(g[:, :, 0:3], axis=1), jnp.max(g[:, :, 3:6], axis=1),
+         jnp.zeros((nsup, 2), jnp.float32)],
+        axis=1,
+    )
+    return jnp.repeat(sup, 8, axis=0)
+
+
 def _slab_rows(box, ox, oy, oz, inv_dx, inv_dy, inv_dz, tmax):
     """Chunk-AABB slab test against ray lanes; [1,R] bool.
 
@@ -870,8 +886,8 @@ def _box_rows(boxes8_ref, ci):
 
 
 def blocked_full_sweep(o, d, face, excl_prim, excl_face, active,
-                       tblk_ref, boxes8_ref, sph, n_tri: int, n_sph: int,
-                       n_chunks: int):
+                       tblk_ref, boxes8_ref, sup8_ref, sph, n_tri: int,
+                       n_sph: int, n_chunks: int):
     """Nearest hit with all attributes over the blocked layout.
 
     Semantics identical to `full_sweep` (== ops/intersect.cast): face
@@ -879,7 +895,8 @@ def blocked_full_sweep(o, d, face, excl_prim, excl_face, active,
     with spheres beating triangles on exact ties, unnormalized flipped
     triangle normals, spherical uv.  Winner attributes are reconstructed
     per hit chunk with ONE [BLK_COLS, BLK_CHUNK] x [BLK_CHUNK, R] MXU
-    one-hot contraction and carried through the chunk loop."""
+    one-hot contraction and carried through the two-tier loop
+    (supergroups of SUP_CHUNKS chunks gate first)."""
     ox, oy, oz = o
     dx, dy, dz = d
     shape = (1, ox.shape[1])
@@ -969,8 +986,20 @@ def blocked_full_sweep(o, d, face, excl_prim, excl_face, active,
 
         return jax.lax.cond(jnp.any(hit_box), run, lambda s: s, st)
 
+    def sup(si, st):
+        sbox = _box_rows(sup8_ref, si)
+        hit_sup = _slab_rows(sbox, ox, oy, oz, inv_dx, inv_dy, inv_dz,
+                             st["t"]) & active
+
+        def descend(st):
+            for j in range(SUP_CHUNKS):
+                st = chunk(si * SUP_CHUNKS + j, st)
+            return st
+
+        return jax.lax.cond(jnp.any(hit_sup), descend, lambda s: s, st)
+
     if n_tri > 0:
-        st = jax.lax.fori_loop(0, n_chunks, chunk, st)
+        st = jax.lax.fori_loop(0, n_chunks // SUP_CHUNKS, sup, st)
 
     best_t = st["t"]
     best_if = st["idf"]
@@ -1059,10 +1088,11 @@ class _BlockedShadowSweep:
     every lane is blocked."""
 
     def __init__(self, px, py, pz, not_self_excl, tblk_ref, boxes8_ref,
-                 sph, n_tri: int, n_sph: int, n_chunks: int):
+                 sup8_ref, sph, n_tri: int, n_sph: int, n_chunks: int):
         self.px, self.py, self.pz = px, py, pz
         self.not_self = not_self_excl
         self.tblk_ref, self.boxes8_ref = tblk_ref, boxes8_ref
+        self.sup8_ref = sup8_ref
         self.sph = sph
         self.n_tri, self.n_sph, self.n_chunks = n_tri, n_sph, n_chunks
         if n_sph > 0:
@@ -1106,7 +1136,21 @@ class _BlockedShadowSweep:
 
                 return jax.lax.cond(jnp.any(hit_box), run, lambda o: o, out)
 
-            out = jax.lax.fori_loop(0, self.n_chunks, chunk, out)
+            def sup(si, out):
+                pending = active & (out == 0)
+                sbox = _box_rows(self.sup8_ref, si)
+                hit_sup = _slab_rows(sbox, px, py, pz, inv_dx, inv_dy,
+                                     inv_dz, limit) & pending
+
+                def descend(out):
+                    for j in range(SUP_CHUNKS):
+                        out = chunk(si * SUP_CHUNKS + j, out)
+                    return out
+
+                return jax.lax.cond(jnp.any(hit_sup), descend, lambda o: o,
+                                    out)
+
+            out = jax.lax.fori_loop(0, self.n_chunks // SUP_CHUNKS, sup, out)
         if self.n_sph > 0:
             sph = self.sph
             r2 = sph[:, 3:4]
@@ -1125,7 +1169,7 @@ class _BlockedShadowSweep:
 
 
 def blocked_back_sweep(px, py, pz, dx, dy, dz, active, tblk_ref, boxes8_ref,
-                       sph, n_tri: int, n_sph: int, n_chunks: int):
+                       sup8_ref, sph, n_tri: int, n_sph: int, n_chunks: int):
     """Blocked-layout interior sweep: nearest BACKFACE hit + flipped
     interpolated normal (the large-mesh `back_sweep_with_normal`).
 
@@ -1200,8 +1244,20 @@ def blocked_back_sweep(px, py, pz, dx, dy, dz, active, tblk_ref, boxes8_ref,
 
         return jax.lax.cond(jnp.any(hit_box), run, lambda s: s, st)
 
+    def sup(si, st):
+        sbox = _box_rows(sup8_ref, si)
+        hit_sup = _slab_rows(sbox, px, py, pz, inv_dx, inv_dy, inv_dz,
+                             st["t"]) & active
+
+        def descend(st):
+            for j in range(SUP_CHUNKS):
+                st = chunk(si * SUP_CHUNKS + j, st)
+            return st
+
+        return jax.lax.cond(jnp.any(hit_sup), descend, lambda s: s, st)
+
     if n_tri > 0:
-        st = jax.lax.fori_loop(0, n_chunks, chunk, st)
+        st = jax.lax.fori_loop(0, n_chunks // SUP_CHUNKS, sup, st)
 
     best_t = st["t"]
     best_if = st["idf"]
@@ -1277,32 +1333,35 @@ class DenseGeom:
 
 
 class BlockedGeom:
-    """Blocked-layout strategy for large meshes: chunk-gated sweeps over
-    the VMEM-resident permuted table (see module section above)."""
+    """Blocked-layout strategy for large meshes: two-tier chunk-gated
+    sweeps over the VMEM-resident permuted table (see module section
+    above)."""
 
-    def __init__(self, tblk_ref, boxes8_ref, sph, n_tri: int, n_sph: int,
-                 n_chunks: int):
+    def __init__(self, tblk_ref, boxes8_ref, sup8_ref, sph, n_tri: int,
+                 n_sph: int, n_chunks: int):
         self.tblk_ref, self.boxes8_ref = tblk_ref, boxes8_ref
+        self.sup8_ref = sup8_ref
         self.sph = sph
         self.n_tri, self.n_sph, self.n_chunks = n_tri, n_sph, n_chunks
 
     def nearest(self, o, d, face, excl_prim, excl_face, active):
         return blocked_full_sweep(o, d, face, excl_prim, excl_face, active,
-                                  self.tblk_ref, self.boxes8_ref, self.sph,
+                                  self.tblk_ref, self.boxes8_ref,
+                                  self.sup8_ref, self.sph,
                                   self.n_tri, self.n_sph, self.n_chunks)
 
     def shadow_sweep(self, px, py, pz, prim):
         return _BlockedShadowSweep(px, py, pz, prim, self.tblk_ref,
-                                   self.boxes8_ref, self.sph, self.n_tri,
-                                   self.n_sph, self.n_chunks)
+                                   self.boxes8_ref, self.sup8_ref, self.sph,
+                                   self.n_tri, self.n_sph, self.n_chunks)
 
     def march(self, px, py, pz, nx, ny, nz, dx, dy, dz, k, want,
               max_distance: float, max_retries: int):
         def sweep_fn(sx, sy, sz, sdx, sdy, sdz, act):
             return blocked_back_sweep(sx, sy, sz, sdx, sdy, sdz, act,
                                       self.tblk_ref, self.boxes8_ref,
-                                      self.sph, self.n_tri, self.n_sph,
-                                      self.n_chunks)
+                                      self.sup8_ref, self.sph, self.n_tri,
+                                      self.n_sph, self.n_chunks)
 
         return march_rows(px, py, pz, nx, ny, nz, dx, dy, dz, k, want,
                           None, self.sph, self.n_tri, self.n_sph,

@@ -38,7 +38,7 @@ _BIG = kc._BIG
 
 
 def _level_kernel(o_ref, d_ref, meta_ref, cs_ref, g1_ref,
-                  g2_ref, sph_ref, mat_ref, mat_T_ref, light_ref,
+                  g2_ref, g3_ref, sph_ref, mat_ref, mat_T_ref, light_ref,
                   contrib_ref, rchild_f_ref, rchild_i_ref, fchild_f_ref,
                   fchild_i_ref, casts_ref,
                   *, last: bool, direct: bool, blocked: bool, n_chunks: int,
@@ -62,7 +62,8 @@ def _level_kernel(o_ref, d_ref, meta_ref, cs_ref, g1_ref,
     pend = (cs_ref[2:3, :], cs_ref[3:4, :], cs_ref[4:5, :])
     sph = sph_ref[:, :]
     if blocked:
-        geom = kc.BlockedGeom(g1_ref, g2_ref, sph, n_tri, n_sph, n_chunks)
+        geom = kc.BlockedGeom(g1_ref, g2_ref, g3_ref, sph, n_tri, n_sph,
+                              n_chunks)
     else:
         geom = kc.DenseGeom(g1_ref[:, :], g2_ref[:, :], sph, n_tri, n_sph)
     mat_t = mat_ref[:, :]
@@ -253,10 +254,12 @@ def process_level(scene: Scene, textures, pool_o, pool_d, pool_face,
     if blocked:
         g1 = kc.pack_tri_blocked(scene)  # [T_pad, 48]
         g2 = kc.pack_boxes8(scene)  # [NCH*8, 8]
+        g3 = kc.pack_sup8(scene)  # [NSUP*8, 8]
         n_chunks = scene.blk_box.shape[0]
     else:
         g1 = pack_tri(scene) if scene.n_tri > 0 else jnp.zeros((8, 34), jnp.float32)
         g2 = g1.T  # winner-attr matmul operand
+        g3 = jnp.zeros((8, 8), jnp.float32)
         n_chunks = 0
     sph = pack_sph(scene) if scene.n_sph > 0 else jnp.zeros((8, 8), jnp.float32)
     mat_t = kc.pack_materials(scene)
@@ -280,7 +283,7 @@ def process_level(scene: Scene, textures, pool_o, pool_d, pool_face,
         grid=(grid,),
         in_specs=[
             row(3), row(3), row(5), row(5),
-            const(g1), const(g2), const(sph), const(mat_t),
+            const(g1), const(g2), const(g3), const(sph), const(mat_t),
             const(mat_T), const(lights),
         ],
         out_specs=[row(3), row(11), row(5), row(11), row(5), row(1)],
@@ -293,7 +296,7 @@ def process_level(scene: Scene, textures, pool_o, pool_d, pool_face,
             jax.ShapeDtypeStruct((1, npad), jnp.int32),
         ],
         interpret=interpret,
-    )(o_t, d_t, meta, cs, g1, g2, sph, mat_t, mat_T, lights)
+    )(o_t, d_t, meta, cs, g1, g2, g3, sph, mat_t, mat_T, lights)
 
     def child(f, i):
         return dict(

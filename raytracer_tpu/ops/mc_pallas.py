@@ -34,7 +34,7 @@ from raytracer_tpu.scene.types import FACE_BACK, FACE_FRONT, Scene
 _BIG = kc._BIG
 
 
-def _mc_kernel(o_ref, d_ref, unif_ref, g1_ref, g2_ref, sph_ref,
+def _mc_kernel(o_ref, d_ref, unif_ref, g1_ref, g2_ref, g3_ref, sph_ref,
                mat_ref, mat_T_ref, light_ref,
                photon_ref, casts_ref, *, blocked: bool, n_chunks: int,
                n_tri: int, n_sph: int,
@@ -44,7 +44,8 @@ def _mc_kernel(o_ref, d_ref, unif_ref, g1_ref, g2_ref, sph_ref,
     d = (d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :])
     sph = sph_ref[:, :]
     if blocked:
-        geom = kc.BlockedGeom(g1_ref, g2_ref, sph, n_tri, n_sph, n_chunks)
+        geom = kc.BlockedGeom(g1_ref, g2_ref, g3_ref, sph, n_tri, n_sph,
+                              n_chunks)
     else:
         geom = kc.DenseGeom(g1_ref[:, :], g2_ref[:, :], sph, n_tri, n_sph)
     mat_t = mat_ref[:, :]
@@ -259,10 +260,12 @@ def trace(scene: Scene, textures, ray_o, ray_d, unifs, depth: int,
     if blocked:
         g1 = kc.pack_tri_blocked(scene)
         g2 = kc.pack_boxes8(scene)
+        g3 = kc.pack_sup8(scene)
         n_chunks = scene.blk_box.shape[0]
     else:
         g1 = pack_tri(scene) if scene.n_tri > 0 else jnp.zeros((8, 34), jnp.float32)
         g2 = g1.T
+        g3 = jnp.zeros((8, 8), jnp.float32)
         n_chunks = 0
     sph = pack_sph(scene) if scene.n_sph > 0 else jnp.zeros((8, 8), jnp.float32)
     mat_t = kc.pack_materials(scene)
@@ -284,7 +287,7 @@ def trace(scene: Scene, textures, ray_o, ray_d, unifs, depth: int,
         kernel,
         grid=(grid,),
         in_specs=[row(3), row(3), row(u_t.shape[0]),
-                  const(g1), const(g2), const(sph), const(mat_t),
+                  const(g1), const(g2), const(g3), const(sph), const(mat_t),
                   const(mat_T), const(lights)],
         out_specs=[row(3), row(1)],
         out_shape=[
@@ -292,6 +295,6 @@ def trace(scene: Scene, textures, ray_o, ray_d, unifs, depth: int,
             jax.ShapeDtypeStruct((1, npad), jnp.int32),
         ],
         interpret=interpret,
-    )(o_t, d_t, u_t, g1, g2, sph, mat_t, mat_T, lights)
+    )(o_t, d_t, u_t, g1, g2, g3, sph, mat_t, mat_T, lights)
 
     return photon[:, :n].T, jnp.sum(casts[0, :n])

@@ -29,6 +29,9 @@ import numpy as np
 # box-gate saves ~16x on chunks no ray enters (measured: a miss costs one
 # [1,R] slab test + any(); a full-hit sweep pays ~9% over ungated).
 BLK_CHUNK = 128
+# Chunks per supergroup: the kernels gate 8 chunks (1024 tris) with one
+# outer slab test before testing the chunks individually.
+SUP_CHUNKS = 8
 
 # VMEM budget guard: the permuted [T_pad, 48] table occupies lane-padded
 # [T_pad, 128] f32 in VMEM (~0.5 KB/triangle); 16384 keeps the table at
@@ -47,7 +50,10 @@ def build_blocked(tri_v: np.ndarray, prim_order: np.ndarray):
     """
     prim_order = np.asarray(prim_order, np.int32)
     t = prim_order.shape[0]
-    nch = max(1, -(-t // BLK_CHUNK))
+    # chunk count padded to a multiple of SUP_CHUNKS so the kernels'
+    # supergroup tier (8 chunks per gated outer iteration) needs no edge
+    # masking; pad chunks carry inverted boxes that never pass the slab
+    nch = -(-max(1, -(-t // BLK_CHUNK)) // SUP_CHUNKS) * SUP_CHUNKS
     t_pad = nch * BLK_CHUNK
     perm = np.full(t_pad, -1, np.int32)
     perm[:t] = prim_order
