@@ -19,22 +19,28 @@ import sys
 
 import numpy as np
 
-GOLDEN = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "tests", "golden", "whitted_demo_64x48.npy",
-)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_G = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                  "tests", "golden")
+GOLDEN = os.path.join(_G, "whitted_demo_64x48.npy")
+GOLDEN_MESH = os.path.join(_G, "whitted_mesh24_64x48.npy")
 
 
-def render():
+def render(mesh: bool = False):
     from raytracer_tpu.config import RenderConfig
     from raytracer_tpu.render import render_whitted
-    from raytracer_tpu.scene.presets import demo_camera, demo_scene
+    from raytracer_tpu.scene.presets import demo_camera, demo_scene, mesh_scene
     from raytracer_tpu.utils.cache import enable_compile_cache
 
     enable_compile_cache()
-    scene, textures = demo_scene()
+    if mesh:  # blocked two-tier kernels (1,164-tri terrain)
+        scene, textures, cam = mesh_scene(grid=24)
+    else:
+        scene, textures = demo_scene()
+        cam = demo_camera()
     cfg = RenderConfig(width=64, height=48, depth=5, tile_rays=64 * 48)
-    img, stats = render_whitted(scene, textures, demo_camera(), cfg)
+    img, stats = render_whitted(scene, textures, cam, cfg)
     assert stats["dropped"] == 0, f"pool overflow: {stats}"
     return np.asarray(img)
 
@@ -66,26 +72,41 @@ def main() -> int:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        img = render()
         os.makedirs(os.path.dirname(GOLDEN), exist_ok=True)
-        np.save(GOLDEN, img)
-        print(f"golden written: {GOLDEN} mean={img.mean():.4f}")
+        for mesh, path in [(False, GOLDEN), (True, GOLDEN_MESH)]:
+            img = render(mesh)
+            np.save(path, img)
+            print(f"golden written: {path} mean={img.mean():.4f}")
         return 0
 
     import jax
 
-    img = render()
-    golden = np.load(GOLDEN)
-    p = psnr(img, golden)
-    bad = float((np.abs(img - golden).max(axis=-1) > 0.1).mean())
-    ok = p >= args.min_psnr and bad <= args.max_bad_frac
-    print(
-        f"backend={jax.default_backend()} psnr_vs_cpu_golden={p:.1f} dB "
-        f"bad_pixel_frac={bad:.4f} "
-        f"({'OK' if ok else 'FAIL'}; thresholds {args.min_psnr} dB / "
-        f"{args.max_bad_frac})"
-    )
-    return 0 if ok else 1
+    rc = 0
+    # mesh thresholds are looser: the CPU golden for the blocked scene is
+    # the XLA gather-BVH path while the chip runs the blocked kernels, and
+    # the terrain's coplanar-neighbor grazing shadows flip on last-ulp
+    # differences (measured: ~0.4% scattered single pixels, 34 dB; a real
+    # kernel bug shows as structured regions and a PSNR collapse).
+    for name, mesh, path, min_psnr, max_bad in [
+        ("demo", False, GOLDEN, args.min_psnr, args.max_bad_frac),
+        ("mesh24-blocked", True, GOLDEN_MESH, 30.0, 0.01),
+    ]:
+        if not os.path.exists(path):
+            print(f"{name}: golden missing ({path}); run --update on CPU")
+            continue
+        img = render(mesh)
+        golden = np.load(path)
+        p = psnr(img, golden)
+        bad = float((np.abs(img - golden).max(axis=-1) > 0.1).mean())
+        ok = p >= min_psnr and bad <= max_bad
+        print(
+            f"{name}: backend={jax.default_backend()} "
+            f"psnr_vs_cpu_golden={p:.1f} dB bad_pixel_frac={bad:.4f} "
+            f"({'OK' if ok else 'FAIL'}; thresholds {min_psnr} dB / "
+            f"{max_bad})"
+        )
+        rc |= 0 if ok else 1
+    return rc
 
 
 if __name__ == "__main__":
