@@ -209,20 +209,45 @@ def render_progressive(
             t0 = time.time()
             if fused:
                 # whole epoch (frame + accumulate + renorm + u8) in ONE
-                # dispatch; counters come back in one fetch
+                # dispatch.  EVERYTHING host-blocking — the counter fetch,
+                # the u8 transfer (the ~30 MB/s tunnel is the bottleneck),
+                # PNG encode, checkpoint, logging — runs on the writer
+                # thread so epoch e+1's device work overlaps epoch e's
+                # output; the depth-1 queue bounds the pipeline to two
+                # epochs in flight.
                 img, u8_dev, counters = _epoch_step(
                     scene, camera, clips_tiled, state.img, base_key,
                     state.epoch, textures, cfg, inv,
                 )
-                cn = np.asarray(counters)
-                stats = {"casts": int(cn[0]), "filtered": int(cn[1]),
-                         "primary_rays": n_pix}
-            else:
-                ekey = jax.random.fold_in(base_key, state.epoch)
-                photons, stats = epoch_fn(ekey)
-                img = state.img + photons  # accumulate (main.rs:1163-1166)
-                img = post_process(img, cfg.percentile)  # renorm (1171)
-                u8_dev = color_utils.linear_to_u8(img)
+                state = ProgressiveState(img=img, epoch=state.epoch + 1,
+                                         seed=state.seed)
+                snap = state
+
+                def job(u8_dev=u8_dev, counters=counters, snap=snap,
+                        t0=t0):
+                    cn = np.asarray(counters)
+                    stats = {"casts": int(cn[0]), "filtered": int(cn[1]),
+                             "primary_rays": n_pix}
+                    dt = max(time.time() - t0, 1e-9)
+                    kept = stats["primary_rays"] - stats["filtered"]
+                    log(
+                        f"{kept} rays in {dt * 1e3:.0f} ms "
+                        f"({stats['casts'] / dt:,.0f} casts/s)"
+                    )
+                    write_png_atomic(out_path, np.asarray(u8_dev))
+                    if checkpoint_path:
+                        save_checkpoint(checkpoint_path, snap)
+                    if on_epoch:
+                        on_epoch(snap.epoch, stats)
+
+                writer.submit(job)
+                continue
+
+            ekey = jax.random.fold_in(base_key, state.epoch)
+            photons, stats = epoch_fn(ekey)
+            img = state.img + photons  # accumulate (main.rs:1163-1166)
+            img = post_process(img, cfg.percentile)  # renorm (1171)
+            u8_dev = color_utils.linear_to_u8(img)
             dt = max(time.time() - t0, 1e-9)
             kept = stats["primary_rays"] - stats["filtered"]
             log(
