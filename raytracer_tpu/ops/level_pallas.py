@@ -9,6 +9,26 @@ path runs the same level as ~6 dispatches (sweep kernel, one-hot attribute
 matmuls, material eval, shadow kernel, march kernel, child elementwise)
 with every [K]-sized intermediate round-tripping HBM.
 
+Packed pool layout (the kernel's native row layout, kept END-TO-END by
+ops/trace.py so levels chain with no per-field packing/unpacking — the
+round-2 profile showed ~50 ms/frame of XLA "data formatting" between
+levels, VERDICT r2 weak #1):
+
+  rows 0-2   o (ray origin xyz)          f32
+  rows 3-5   d (ray direction xyz)       f32
+  row  6     c (contribution)            f32
+  row  7     s (accumulated scale)       f32
+  rows 8-10  pending radiance rgb        f32
+  row  11    face                        i32 bits
+  row  12    excl_prim                   i32 bits
+  row  13    excl_face                   i32 bits
+  row  14    slot (output pixel index)   i32 bits
+  row  15    alive                       i32 bits
+
+Int rows ride as raw f32 bit patterns (pltpu.bitcast in-kernel, pure
+copies outside) — exactly the trick ops/trace.py's packed compaction
+scatter already used, now extended through the kernel boundary.
+
 Radiance delivery follows the pending chain (ops/trace.py Pool): `direct`
 levels (identity-slot or final) emit their radiance through `contrib`;
 other pooled levels fold it into exactly one child's `pending` rows so the
@@ -36,30 +56,78 @@ from raytracer_tpu.scene.types import FACE_BACK, FACE_FRONT, Scene
 
 _BIG = kc._BIG
 
+# packed row indices
+ROW_O, ROW_D, ROW_C, ROW_S, ROW_PEND = 0, 3, 6, 7, 8
+ROW_FACE, ROW_EXCL_PRIM, ROW_EXCL_FACE, ROW_SLOT, ROW_ALIVE = 11, 12, 13, 14, 15
+N_ROWS = 16
 
-def _level_kernel(o_ref, d_ref, meta_ref, cs_ref, g1_ref,
-                  g2_ref, g3_ref, sph_ref, mat_ref, mat_T_ref, light_ref,
-                  contrib_ref, rchild_f_ref, rchild_i_ref, fchild_f_ref,
-                  fchild_i_ref, casts_ref,
+
+def _iload(ref, r):
+    return pltpu.bitcast(ref[r : r + 1, :], jnp.int32)
+
+
+def _istore(ref, r, val):
+    ref[r : r + 1, :] = pltpu.bitcast(val, jnp.float32)
+
+
+def _level_kernel(pp_ref, g1_ref, g2_ref, g3_ref, sph_ref, mat_ref,
+                  mat_T_ref, light_ref,
+                  contrib_ref, rch_ref, fch_ref, casts_ref,
                   *, last: bool, direct: bool, blocked: bool, n_chunks: int,
                   n_tri: int, n_sph: int, n_light: int, threshold: float,
                   max_distance: float, max_retries: int, textures):
-    """meta rows: face, excl_prim, excl_face, slot, alive (i32).
-    cs rows: c (contribution), s (scale), pending rgb.
-    g1/g2: dense (tri [T,34], tri_T [34,T]) or blocked (tblk [T_pad,48],
-    boxes8 [NCH*8,8]) geometry operands (kernel_common Geom strategies).
-    Child outputs: floats [11,R] = o(3), d(3), c, s, pending(3); ints
-    [5,R] = face, excl_prim, excl_face, slot, alive."""
-    o = (o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :])
-    d = (d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :])
-    face = meta_ref[0:1, :]
-    excl_prim = meta_ref[1:2, :]
-    excl_face = meta_ref[2:3, :]
-    slot = meta_ref[3:4, :]
-    alive = meta_ref[4:5, :] != 0
-    c = cs_ref[0:1, :]
-    s = cs_ref[1:2, :]
-    pend = (cs_ref[2:3, :], cs_ref[3:4, :], cs_ref[4:5, :])
+    """pp: packed pool rows (see module docstring).  Children come out in
+    the SAME packed layout, ready for the group-compaction scatter."""
+    alive = _iload(pp_ref, ROW_ALIVE) != 0
+    pend = (pp_ref[8:9, :], pp_ref[9:10, :], pp_ref[10:11, :])
+    shape = (1, pp_ref.shape[1])
+
+    # Compaction packs live groups to the FRONT of the pool, so a tile past
+    # the live prefix has no rays to trace — skip its sweeps/shade/march
+    # for one any() check.  Zombie lanes (alive=0, pending != 0) may still
+    # sit here: their pending is delivered (direct) or forwarded on the
+    # reflect child (pooled) without any geometry work.
+    @pl.when(jnp.logical_not(jnp.any(alive)))
+    def _():
+        zf = jnp.zeros(shape, jnp.float32)
+        for r in range(N_ROWS):
+            rch_ref[r : r + 1, :] = zf
+            fch_ref[r : r + 1, :] = zf
+        if direct:
+            for r in range(3):
+                contrib_ref[r : r + 1, :] = pend[r]
+        else:
+            for r in range(3):
+                contrib_ref[r : r + 1, :] = zf
+            for r in range(3):  # pending rides the (dead) reflect child
+                rch_ref[ROW_PEND + r : ROW_PEND + r + 1, :] = pend[r]
+            rch_ref[ROW_SLOT : ROW_SLOT + 1, :] = pp_ref[ROW_SLOT : ROW_SLOT + 1, :]
+        casts_ref[:, :] = jnp.zeros(shape, jnp.int32)
+
+    @pl.when(jnp.any(alive))
+    def _():
+        _level_body(pp_ref, alive, pend, g1_ref, g2_ref, g3_ref, sph_ref,
+                    mat_ref, mat_T_ref, light_ref,
+                    contrib_ref, rch_ref, fch_ref, casts_ref,
+                    last=last, direct=direct, blocked=blocked,
+                    n_chunks=n_chunks, n_tri=n_tri, n_sph=n_sph,
+                    n_light=n_light, threshold=threshold,
+                    max_distance=max_distance, max_retries=max_retries,
+                    textures=textures)
+
+
+def _level_body(pp_ref, alive, pend, g1_ref, g2_ref, g3_ref, sph_ref,
+                mat_ref, mat_T_ref, light_ref,
+                contrib_ref, rch_ref, fch_ref, casts_ref,
+                *, last, direct, blocked, n_chunks, n_tri, n_sph, n_light,
+                threshold, max_distance, max_retries, textures):
+    o = (pp_ref[0:1, :], pp_ref[1:2, :], pp_ref[2:3, :])
+    d = (pp_ref[3:4, :], pp_ref[4:5, :], pp_ref[5:6, :])
+    c = pp_ref[6:7, :]
+    s = pp_ref[7:8, :]
+    face = _iload(pp_ref, ROW_FACE)
+    excl_prim = _iload(pp_ref, ROW_EXCL_PRIM)
+    excl_face = _iload(pp_ref, ROW_EXCL_FACE)
     sph = sph_ref[:, :]
     if blocked:
         geom = kc.BlockedGeom(g1_ref, g2_ref, g3_ref, sph, n_tri, n_sph,
@@ -69,52 +137,7 @@ def _level_kernel(o_ref, d_ref, meta_ref, cs_ref, g1_ref,
     mat_t = mat_ref[:, :]
     mat_T = mat_T_ref[:, :]
     lights = light_ref[:, :]
-    shape = (1, o[0].shape[1])
-
-    # Compaction packs live groups to the FRONT of the pool, so a tile past
-    # the live prefix has no rays to trace — skip its sweeps/shade/march
-    # for one any() check.  Zombie lanes (alive=0, pending != 0) may still
-    # sit here: their pending is delivered (direct) or forwarded on the
-    # reflect child (pooled) without any geometry work.
-    @pl.when(jnp.logical_not(jnp.any(alive)))
-    def _():
-        zf = jnp.zeros((1, shape[1]), jnp.float32)
-        zi = jnp.zeros((1, shape[1]), jnp.int32)
-        for r in range(11):
-            rchild_f_ref[r : r + 1, :] = zf
-            fchild_f_ref[r : r + 1, :] = zf
-        for r in range(5):
-            rchild_i_ref[r : r + 1, :] = zi
-            fchild_i_ref[r : r + 1, :] = zi
-        if direct:
-            for r in range(3):
-                contrib_ref[r : r + 1, :] = pend[r]
-        else:
-            for r in range(3):
-                contrib_ref[r : r + 1, :] = zf
-            for r in range(3):  # pending rides the reflect child
-                rchild_f_ref[8 + r : 9 + r, :] = pend[r]
-            rchild_i_ref[3:4, :] = slot
-        casts_ref[:, :] = zi
-
-    @pl.when(jnp.any(alive))
-    def _():
-        _level_body(o, d, face, excl_prim, excl_face, slot, alive, c, s,
-                    pend, geom, mat_t, mat_T, lights,
-                    contrib_ref, rchild_f_ref, rchild_i_ref, fchild_f_ref,
-                    fchild_i_ref, casts_ref,
-                    last=last, direct=direct, n_light=n_light,
-                    threshold=threshold, max_distance=max_distance,
-                    max_retries=max_retries, textures=textures)
-
-
-def _level_body(o, d, face, excl_prim, excl_face, slot, alive, c, s,
-                pend, geom, mat_t, mat_T, lights,
-                contrib_ref, rchild_f_ref, rchild_i_ref, fchild_f_ref,
-                fchild_i_ref, casts_ref,
-                *, last, direct, n_light, threshold, max_distance,
-                max_retries, textures):
-    shape = (1, o[0].shape[1])
+    shape = (1, pp_ref.shape[1])
 
     h = geom.nearest(o, d, face, excl_prim, excl_face, alive)
     live = alive & h["valid"]
@@ -147,13 +170,9 @@ def _level_body(o, d, face, excl_prim, excl_face, slot, alive, c, s,
         # final level: no children (main.rs:488-490) — deliver pending +
         # shade through contrib, skip reflect/march entirely
         zf = jnp.zeros(shape, jnp.float32)
-        zi = jnp.zeros(shape, jnp.int32)
-        for r in range(11):
-            rchild_f_ref[r : r + 1, :] = zf
-            fchild_f_ref[r : r + 1, :] = zf
-        for r in range(5):
-            rchild_i_ref[r : r + 1, :] = zi
-            fchild_i_ref[r : r + 1, :] = zi
+        for r in range(N_ROWS):
+            rch_ref[r : r + 1, :] = zf
+            fch_ref[r : r + 1, :] = zf
         for r in range(3):
             contrib_ref[r : r + 1, :] = p_new[r]
         casts_ref[:, :] = casts
@@ -164,19 +183,20 @@ def _level_body(o, d, face, excl_prim, excl_face, slot, alive, c, s,
     want_r = live & (c_r >= threshold)
     fx, fy, fz = kc.reflect3(d[0], d[1], d[2], h["nx"], h["ny"], h["nz"])
     excl_face_r = jnp.where(h["backface"], FACE_FRONT, FACE_BACK)
-    rchild_f_ref[0:1, :] = h["px"]
-    rchild_f_ref[1:2, :] = h["py"]
-    rchild_f_ref[2:3, :] = h["pz"]
-    rchild_f_ref[3:4, :] = fx
-    rchild_f_ref[4:5, :] = fy
-    rchild_f_ref[5:6, :] = fz
-    rchild_f_ref[6:7, :] = c_r
-    rchild_f_ref[7:8, :] = s * refl_c
-    rchild_i_ref[0:1, :] = face  # child keeps the incoming face (341)
-    rchild_i_ref[1:2, :] = h["prim"]
-    rchild_i_ref[2:3, :] = excl_face_r
-    rchild_i_ref[3:4, :] = slot
-    rchild_i_ref[4:5, :] = want_r.astype(jnp.int32)
+    rch_ref[0:1, :] = h["px"]
+    rch_ref[1:2, :] = h["py"]
+    rch_ref[2:3, :] = h["pz"]
+    rch_ref[3:4, :] = fx
+    rch_ref[4:5, :] = fy
+    rch_ref[5:6, :] = fz
+    rch_ref[6:7, :] = c_r
+    rch_ref[7:8, :] = s * refl_c
+    # child keeps the incoming face (341): copy the raw bits
+    rch_ref[ROW_FACE : ROW_FACE + 1, :] = pp_ref[ROW_FACE : ROW_FACE + 1, :]
+    _istore(rch_ref, ROW_EXCL_PRIM, h["prim"])
+    _istore(rch_ref, ROW_EXCL_FACE, excl_face_r)
+    rch_ref[ROW_SLOT : ROW_SLOT + 1, :] = pp_ref[ROW_SLOT : ROW_SLOT + 1, :]
+    _istore(rch_ref, ROW_ALIVE, want_r.astype(jnp.int32))
 
     # refract child (main.rs:502-514): whole interior march in-kernel
     c_f = c * refr_c
@@ -187,19 +207,19 @@ def _level_body(o, d, face, excl_prim, excl_face, slot, alive, c, s,
     casts = casts + mm["iters"]
     decay = kc.powf(m["decay"], mm["travel"])  # opaque_decay^travel (508)
     alive_f = want_f & mm["escaped"]
-    fchild_f_ref[0:1, :] = mm["ex"]
-    fchild_f_ref[1:2, :] = mm["ey"]
-    fchild_f_ref[2:3, :] = mm["ez"]
-    fchild_f_ref[3:4, :] = mm["odx"]
-    fchild_f_ref[4:5, :] = mm["ody"]
-    fchild_f_ref[5:6, :] = mm["odz"]
-    fchild_f_ref[6:7, :] = c_f
-    fchild_f_ref[7:8, :] = s * refr_c * decay
-    fchild_i_ref[0:1, :] = jnp.full(shape, FACE_FRONT, jnp.int32)
-    fchild_i_ref[1:2, :] = mm["prim"]
-    fchild_i_ref[2:3, :] = jnp.full(shape, FACE_BACK, jnp.int32)
-    fchild_i_ref[3:4, :] = slot
-    fchild_i_ref[4:5, :] = alive_f.astype(jnp.int32)
+    fch_ref[0:1, :] = mm["ex"]
+    fch_ref[1:2, :] = mm["ey"]
+    fch_ref[2:3, :] = mm["ez"]
+    fch_ref[3:4, :] = mm["odx"]
+    fch_ref[4:5, :] = mm["ody"]
+    fch_ref[5:6, :] = mm["odz"]
+    fch_ref[6:7, :] = c_f
+    fch_ref[7:8, :] = s * refr_c * decay
+    _istore(fch_ref, ROW_FACE, jnp.full(shape, FACE_FRONT, jnp.int32))
+    _istore(fch_ref, ROW_EXCL_PRIM, mm["prim"])
+    _istore(fch_ref, ROW_EXCL_FACE, jnp.full(shape, FACE_BACK, jnp.int32))
+    fch_ref[ROW_SLOT : ROW_SLOT + 1, :] = pp_ref[ROW_SLOT : ROW_SLOT + 1, :]
+    _istore(fch_ref, ROW_ALIVE, alive_f.astype(jnp.int32))
 
     # radiance delivery: direct levels emit through contrib; pooled levels
     # ride p_new on exactly one child (reflect by default — including the
@@ -208,14 +228,18 @@ def _level_body(o, d, face, excl_prim, excl_face, slot, alive, c, s,
     if direct:
         for r in range(3):
             contrib_ref[r : r + 1, :] = p_new[r]
-            rchild_f_ref[8 + r : 9 + r, :] = zf
-            fchild_f_ref[8 + r : 9 + r, :] = zf
+            rch_ref[ROW_PEND + r : ROW_PEND + r + 1, :] = zf
+            fch_ref[ROW_PEND + r : ROW_PEND + r + 1, :] = zf
     else:
         carrier_f = (~want_r) & alive_f
         for r in range(3):
             contrib_ref[r : r + 1, :] = zf
-            rchild_f_ref[8 + r : 9 + r, :] = jnp.where(carrier_f, 0.0, p_new[r])
-            fchild_f_ref[8 + r : 9 + r, :] = jnp.where(carrier_f, p_new[r], 0.0)
+            rch_ref[ROW_PEND + r : ROW_PEND + r + 1, :] = jnp.where(
+                carrier_f, 0.0, p_new[r]
+            )
+            fch_ref[ROW_PEND + r : ROW_PEND + r + 1, :] = jnp.where(
+                carrier_f, p_new[r], 0.0
+            )
 
     casts_ref[:, :] = casts
 
@@ -225,31 +249,20 @@ def _level_body(o, d, face, excl_prim, excl_face, slot, alive, c, s,
     static_argnames=("textures", "last", "direct", "threshold",
                      "max_distance", "max_retries", "interpret"),
 )
-def process_level(scene: Scene, textures, pool_o, pool_d, pool_face,
-                  pool_excl_prim, pool_excl_face, pool_slot, pool_c, pool_s,
-                  pool_pending, pool_alive, last: bool, direct: bool,
-                  threshold: float, max_distance: float,
+def process_level(scene: Scene, textures, pool_packed, last: bool,
+                  direct: bool, threshold: float, max_distance: float,
                   max_retries: int, interpret: bool = False):
-    """Run one fused wavefront level over a K-slot pool.
+    """Run one fused wavefront level over a packed [16, K] pool.
 
-    `last`/`direct` are static bools.  Returns (contrib [K,3],
-    reflect_child dict, refract_child dict, casts scalar) with child dicts
-    holding the Pool field arrays (ops/trace.py assembles them)."""
-    n = pool_o.shape[0]
+    `last`/`direct` are static bools.  Returns (contrib [3, K],
+    reflect_child [16, K], refract_child [16, K], casts scalar) — children
+    in the same packed layout (ops/trace.py compacts them)."""
+    n = pool_packed.shape[1]
     tile = min(TILE_R, max(128, -(-n // 128) * 128))
     n_pad = (-n) % tile
     grid = (n + n_pad) // tile
 
-    def prep_rows(x):
-        return jnp.pad(x, [(0, 0), (0, n_pad)]) if n_pad else x
-
-    o_t = prep_rows(pool_o.T)
-    d_t = prep_rows(pool_d.T)
-    meta = prep_rows(jnp.stack([pool_face, pool_excl_prim, pool_excl_face,
-                                pool_slot, pool_alive.astype(jnp.int32)]))
-    cs = prep_rows(jnp.concatenate(
-        [jnp.stack([pool_c, pool_s]), pool_pending.T], axis=0
-    ))
+    pp = jnp.pad(pool_packed, [(0, 0), (0, n_pad)]) if n_pad else pool_packed
     blocked = scene.blk_perm is not None and scene.n_tri > 0
     if blocked:
         g1 = kc.pack_tri_blocked(scene)  # [T_pad, 48]
@@ -277,34 +290,24 @@ def process_level(scene: Scene, textures, pool_o, pool_d, pool_face,
                                  memory_space=pltpu.VMEM)
     const = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
                                    memory_space=pltpu.VMEM)
-    npad = o_t.shape[1]
-    contrib, rch_f, rch_i, fch_f, fch_i, casts = pl.pallas_call(
+    npad = pp.shape[1]
+    contrib, rch, fch, casts = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
-            row(3), row(3), row(5), row(5),
+            row(N_ROWS),
             const(g1), const(g2), const(g3), const(sph), const(mat_t),
             const(mat_T), const(lights),
         ],
-        out_specs=[row(3), row(11), row(5), row(11), row(5), row(1)],
+        out_specs=[row(3), row(N_ROWS), row(N_ROWS), row(1)],
         out_shape=[
             jax.ShapeDtypeStruct((3, npad), jnp.float32),
-            jax.ShapeDtypeStruct((11, npad), jnp.float32),
-            jax.ShapeDtypeStruct((5, npad), jnp.int32),
-            jax.ShapeDtypeStruct((11, npad), jnp.float32),
-            jax.ShapeDtypeStruct((5, npad), jnp.int32),
+            jax.ShapeDtypeStruct((N_ROWS, npad), jnp.float32),
+            jax.ShapeDtypeStruct((N_ROWS, npad), jnp.float32),
             jax.ShapeDtypeStruct((1, npad), jnp.int32),
         ],
         interpret=interpret,
-    )(o_t, d_t, meta, cs, g1, g2, g3, sph, mat_t, mat_T, lights)
+    )(pp, g1, g2, g3, sph, mat_t, mat_T, lights)
 
-    def child(f, i):
-        return dict(
-            o=f[0:3, :n].T, d=f[3:6, :n].T, c=f[6, :n], s=f[7, :n],
-            pending=f[8:11, :n].T,
-            face=i[0, :n], excl_prim=i[1, :n], excl_face=i[2, :n],
-            slot=i[3, :n], alive=i[4, :n] != 0,
-        )
-
-    return (contrib[:, :n].T, child(rch_f, rch_i), child(fch_f, fch_i),
+    return (contrib[:, :n], rch[:, :n], fch[:, :n],
             jnp.sum(casts[0, :n]))

@@ -321,7 +321,12 @@ def _compact(candidates: Pool, k: int, group: int = 8):
 
     # keep groups that still trace OR still owe radiance (zombie lanes);
     # dropped counts BOTH kinds of lost lanes so radiance loss is never
-    # silent
+    # silent.  NOTE: with the pending chain, dropping a lane discards
+    # radiance ALREADY EARNED at earlier levels (its pending), not just
+    # future bounces — dropped > 0 darkens the image, which is why every
+    # user-facing path (render.py, bench.py, tpu_check) surfaces/asserts
+    # dropped == 0.  Scattering pending at drop time would reintroduce
+    # the per-compaction scatter the chain exists to avoid.
     keep = alive | jnp.any(candidates.pending != 0.0, axis=1)
     gkeepl = keep.reshape(ng_in, group)
     gkeep = jnp.any(gkeepl, axis=1)
@@ -439,7 +444,11 @@ def _process_level(scene, textures, cfg, pool: Pool, img, casts, last: bool,
     coef = pool.s if last else pool.s * shade_c
     local = jnp.where(need_shade[:, None], shade * coef[:, None], 0.0)
     p_new = pool.pending + local
-    img = deliver(img, p_new if last else local)
+    # One delivery rule for every direct level: pending + local.  On
+    # identity/doubled levels pending is invariantly zero (their parents
+    # delivered directly), so this matches the fused kernel path exactly
+    # and stays correct if a pooled pool is ever routed into one.
+    img = deliver(img, p_new)
 
     # --- reflect child (main.rs:493-500, get_reflect 328-341) ---
     c_r = pool.c * refl_c

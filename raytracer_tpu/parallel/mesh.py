@@ -180,15 +180,31 @@ def train_step_sharded(scene: Scene, camera: Camera, accum, clips, key,
                        textures, cfg: RenderConfig, mesh: Mesh):
     """The framework's full "training step": one sample-parallel MC epoch,
     accumulated into the (donated) framebuffer and renormalized exactly like
-    the reference's per-epoch post_process (src/main.rs:1163-1172).
+    the reference's per-epoch post_process (src/main.rs:1163-1172), plus the
+    sRGB u8 encode of the result — everything a progressive epoch needs, in
+    ONE dispatch (each extra dispatch through a remote-attached chip costs a
+    ~28 ms round-trip, docs/PERF.md).
 
     accum/clips are flat [H*W(+pad), ...] arrays sharded over ``dp``.
+    Returns (accum', u8, counters[2]) where u8 is the display encode of the
+    renormalized buffer and counters stacks (casts, filtered) so the caller
+    pays one fetch.
     """
+    from raytracer_tpu.utils import color as color_utils
+
     photons, casts, filtered = _mc_epoch_sharded.__wrapped__(
         scene, camera, clips, key, textures, cfg, mesh
     )
+    # dp-pad rows carry real photons (their clip coords are zeros = image
+    # center); zero them so they never skew the percentile statistic below
+    # (zero luma fails is_normal and is excluded, matching the unpadded
+    # single-device post_process exactly).
+    n_pix = cfg.width * cfg.height
+    if photons.shape[0] > n_pix:
+        live = (jnp.arange(photons.shape[0]) < n_pix)[:, None]
+        photons = jnp.where(live, photons, 0.0)
     accum = accum + photons
     # Global percentile renormalization across the sharded frame: jnp.sort
     # under jit inserts the cross-device collectives automatically.
     accum = post_process(accum, cfg.percentile)
-    return accum, casts, filtered
+    return accum, color_utils.linear_to_u8(accum), jnp.stack([casts, filtered])

@@ -35,7 +35,6 @@ from raytracer_tpu.ops.tonemap import post_process
 from raytracer_tpu.render import (
     _mc_frame,
     _tiled_clips,
-    render_distributed_epoch,
     render_whitted,
 )
 from raytracer_tpu.scene.types import Camera, Scene
@@ -163,22 +162,13 @@ def render_progressive(
     state = load_checkpoint(checkpoint_path) if checkpoint_path else None
 
     if mesh is not None:
-        from raytracer_tpu.parallel.mesh import (
-            render_mc_epoch_sharded,
-            render_whitted_sharded,
-        )
+        from raytracer_tpu.parallel.mesh import render_whitted_sharded
 
         whitted_fn = lambda: render_whitted_sharded(
             scene, textures, camera, cfg, mesh
         )
-        epoch_fn = lambda key: render_mc_epoch_sharded(
-            scene, textures, camera, cfg, mesh, key
-        )
     else:
         whitted_fn = lambda: render_whitted(scene, textures, camera, cfg)
-        epoch_fn = lambda key: render_distributed_epoch(
-            scene, textures, camera, cfg, key
-        )
 
     if state is None:
         t0 = time.time()
@@ -198,43 +188,77 @@ def render_progressive(
 
     base_key = jax.random.PRNGKey(state.seed)
     n_pix = cfg.width * cfg.height
-    fused = mesh is None
-    if fused:
+    if mesh is None:
         clips_tiled, _, inv = _tiled_clips(
             cfg, block_order=scene.blk_perm is not None
         )
+    else:
+        # Sharded fused-step setup: flat accumulator + clip grid laid out
+        # over the dp axis once, consumed by train_step_sharded (donated
+        # accumulator, in-jit sp psum + global renorm + u8 encode).
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from raytracer_tpu.parallel.mesh import (
+            _pad_to,
+            train_step_sharded,
+        )
+        from raytracer_tpu.render import clip_coords
+
+        clips_np, _pad = _pad_to(
+            clip_coords(cfg.width, cfg.height), mesh.shape["dp"]
+        )
+        dp_sharding = NamedSharding(mesh, P("dp"))
+        clips_dev = jax.device_put(jnp.asarray(clips_np), dp_sharding)
+        flat = jnp.asarray(state.img).reshape(-1, 3)
+        if _pad:
+            flat = jnp.concatenate(
+                [flat, jnp.zeros((_pad, 3), flat.dtype)], axis=0
+            )
+        accum = jax.device_put(flat, dp_sharding)
     writer = _AsyncWriter()
     try:
         while state.epoch < cfg.epochs:
             t0 = time.time()
-            if fused:
-                # whole epoch (frame + accumulate + renorm + u8) in ONE
-                # dispatch.  EVERYTHING host-blocking — the counter fetch,
-                # the u8 transfer (the ~30 MB/s tunnel is the bottleneck),
-                # PNG encode, checkpoint, logging — runs on the writer
-                # thread so epoch e+1's device work overlaps epoch e's
-                # output; the depth-1 queue bounds the pipeline to two
-                # epochs in flight.
-                img, u8_dev, counters = _epoch_step(
-                    scene, camera, clips_tiled, state.img, base_key,
-                    state.epoch, textures, cfg, inv,
+            if mesh is not None:
+                # One dispatch per epoch; the DONATED accumulator means the
+                # linear buffer must not be read by the writer thread —
+                # only the (separate) u8 output rides to the writer.  The
+                # checkpoint fetch below is synchronous for the same reason.
+                ekey = jax.random.fold_in(base_key, state.epoch)
+                accum, u8_dev, counters = train_step_sharded(
+                    scene, camera, accum, clips_dev, ekey, textures, cfg,
+                    mesh,
                 )
-                state = ProgressiveState(img=img, epoch=state.epoch + 1,
+                state = ProgressiveState(img=None, epoch=state.epoch + 1,
                                          seed=state.seed)
-                snap = state
+                snap_img = None
+                if checkpoint_path:
+                    # blocking: the next iteration donates `accum` away
+                    snap_img = (
+                        np.asarray(accum)[:n_pix]
+                        .reshape(cfg.height, cfg.width, 3)
+                    )
+                snap = ProgressiveState(img=snap_img, epoch=state.epoch,
+                                        seed=state.seed)
 
-                def job(u8_dev=u8_dev, counters=counters, snap=snap,
-                        t0=t0):
+                def job(u8_dev=u8_dev, counters=counters, snap=snap, t0=t0):
                     cn = np.asarray(counters)
-                    stats = {"casts": int(cn[0]), "filtered": int(cn[1]),
-                             "primary_rays": n_pix}
+                    stats = {
+                        "casts": int(cn[0]),
+                        "filtered": int(cn[1]),
+                        "samples_per_pixel": mesh.shape["sp"],
+                        "primary_rays": n_pix * mesh.shape["sp"],
+                    }
                     dt = max(time.time() - t0, 1e-9)
                     kept = stats["primary_rays"] - stats["filtered"]
                     log(
                         f"{kept} rays in {dt * 1e3:.0f} ms "
                         f"({stats['casts'] / dt:,.0f} casts/s)"
                     )
-                    write_png_atomic(out_path, np.asarray(u8_dev))
+                    u8 = np.asarray(u8_dev)[:n_pix].reshape(
+                        cfg.height, cfg.width, 3
+                    )
+                    write_png_atomic(out_path, u8)
                     if checkpoint_path:
                         save_checkpoint(checkpoint_path, snap)
                     if on_epoch:
@@ -243,31 +267,48 @@ def render_progressive(
                 writer.submit(job)
                 continue
 
-            ekey = jax.random.fold_in(base_key, state.epoch)
-            photons, stats = epoch_fn(ekey)
-            img = state.img + photons  # accumulate (main.rs:1163-1166)
-            img = post_process(img, cfg.percentile)  # renorm (1171)
-            u8_dev = color_utils.linear_to_u8(img)
-            dt = max(time.time() - t0, 1e-9)
-            kept = stats["primary_rays"] - stats["filtered"]
-            log(
-                f"{kept} rays in {dt * 1e3:.0f} ms "
-                f"({stats['casts'] / dt:,.0f} casts/s)"
+            # Single-device: whole epoch (frame + accumulate + renorm + u8)
+            # in ONE dispatch.  EVERYTHING host-blocking — the counter
+            # fetch, the u8 transfer (the ~30 MB/s tunnel is the
+            # bottleneck), PNG encode, checkpoint, logging — runs on the
+            # writer thread so epoch e+1's device work overlaps epoch e's
+            # output; the depth-1 queue bounds the pipeline to two epochs
+            # in flight.
+            img, u8_dev, counters = _epoch_step(
+                scene, camera, clips_tiled, state.img, base_key,
+                state.epoch, textures, cfg, inv,
             )
             state = ProgressiveState(img=img, epoch=state.epoch + 1,
                                      seed=state.seed)
-            # the blocking host transfer + PNG encode + checkpoint run on
-            # the writer thread, overlapped with the next epoch's tracing.
             snap = state
 
-            def job(u8_dev=u8_dev, snap=snap):
+            def job(u8_dev=u8_dev, counters=counters, snap=snap,
+                    t0=t0):
+                cn = np.asarray(counters)
+                stats = {"casts": int(cn[0]), "filtered": int(cn[1]),
+                         "primary_rays": n_pix}
+                dt = max(time.time() - t0, 1e-9)
+                kept = stats["primary_rays"] - stats["filtered"]
+                log(
+                    f"{kept} rays in {dt * 1e3:.0f} ms "
+                    f"({stats['casts'] / dt:,.0f} casts/s)"
+                )
                 write_png_atomic(out_path, np.asarray(u8_dev))
                 if checkpoint_path:
                     save_checkpoint(checkpoint_path, snap)
+                if on_epoch:
+                    on_epoch(snap.epoch, stats)
 
             writer.submit(job)
-            if on_epoch:
-                on_epoch(state.epoch, stats)
     finally:
         writer.close()
+    if mesh is not None and state.epoch > 0 and state.img is None:
+        # materialize the final accumulator (held flat/sharded in `accum`)
+        state = ProgressiveState(
+            img=jnp.asarray(np.asarray(accum)[:n_pix]).reshape(
+                cfg.height, cfg.width, 3
+            ),
+            epoch=state.epoch,
+            seed=state.seed,
+        )
     return state

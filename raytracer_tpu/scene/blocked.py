@@ -68,8 +68,14 @@ def build_blocked(tri_v: np.ndarray, prim_order: np.ndarray):
             boxes[c, 0:3] = big
             boxes[c, 3:6] = -big
             continue
-        boxes[c, 0:3] = lo_all[ids].min(axis=0)
-        boxes[c, 3:6] = hi_all[ids].max(axis=0)
+        # Round outward when narrowing f64 bounds to f32: round-to-nearest
+        # could pull a bound inward past a razor-edge triangle extent, and
+        # the kernels' f32 slab test would then skip a chunk containing a
+        # legitimate hit that the dense sweep finds.
+        lo32 = lo_all[ids].min(axis=0).astype(np.float32)
+        hi32 = hi_all[ids].max(axis=0).astype(np.float32)
+        boxes[c, 0:3] = np.nextafter(lo32, np.float32(-np.inf), dtype=np.float32)
+        boxes[c, 3:6] = np.nextafter(hi32, np.float32(np.inf), dtype=np.float32)
     return perm, boxes
 
 
@@ -81,11 +87,13 @@ def validate_blocked(perm: np.ndarray, boxes: np.ndarray,
     assert np.array_equal(np.sort(live), np.arange(t)), "perm covers all tris"
     assert perm.shape[0] % BLK_CHUNK == 0
     assert boxes.shape == (perm.shape[0] // BLK_CHUNK, 8)
-    lo = tri_v.min(axis=1)
-    hi = tri_v.max(axis=1)
+    # Exact f32 containment: build_blocked rounds boxes outward, so the
+    # f32 triangle bounds must sit inside the box with NO tolerance.
+    lo = tri_v.astype(np.float32).min(axis=1)
+    hi = tri_v.astype(np.float32).max(axis=1)
     for c in range(boxes.shape[0]):
         ids = perm[c * BLK_CHUNK : (c + 1) * BLK_CHUNK]
         ids = ids[ids >= 0]
         if ids.size:
-            assert (lo[ids] >= boxes[c, 0:3] - 1e-4).all()
-            assert (hi[ids] <= boxes[c, 3:6] + 1e-4).all()
+            assert (lo[ids] >= boxes[c, 0:3]).all()
+            assert (hi[ids] <= boxes[c, 3:6]).all()

@@ -77,6 +77,75 @@ def score(render_path: str, golden_path: str = GOLDEN) -> dict:
     }
 
 
+def self_noise(render_a: str, render_b: str) -> dict:
+    """MC noise floor: PSNR between two repo renders of the SAME schedule
+    with different seeds.  The golden is itself one noise realization of a
+    100-sample estimator, so psnr(repo, golden) cannot exceed
+    psnr(repo_a, repo_b) plus a small margin; if self-PSNR is far above the
+    vs-golden number at some scale, the residue is structural bias, not
+    noise (VERDICT r2 weak #6)."""
+    from raytracer_tpu.utils.png import read_png_rgb8
+
+    a = read_png_rgb8(render_a)
+    b = read_png_rgb8(render_b)
+    return {
+        "self_render_a": render_a,
+        "self_render_b": render_b,
+        "self_psnr_raw_db": round(psnr_u8(a, b), 2),
+        "self_psnr_down4_db": round(psnr_down(a, b, 4), 2),
+        "self_psnr_down8_db": round(psnr_down(a, b, 8), 2),
+    }
+
+
+def score_features(render_path: str, crops_json: str) -> dict:
+    """Per-feature fidelity vs report/01-spheres.png ... 08-scatter.png.
+
+    scripts/locate_report_crops.py established (artifacts/report_crops.json)
+    that every report feature image except the hand-drawn 08-dof.png diagram
+    is a crop of a box-downscaled report/out.png (NCC >= 0.986): so each
+    feature golden is scored by downscaling OUR render of the same schedule
+    by the same factor, cropping the same window, and comparing — raw and
+    4x-noise-averaged.  Entries that are not crops of the final render are
+    recorded with "match": false rather than skipped (VERDICT r2 item 7).
+    """
+    from PIL import Image
+
+    from raytracer_tpu.utils.png import read_png_rgb8
+
+    with open(crops_json) as f:
+        crops = json.load(f)
+    ours = read_png_rgb8(render_path)
+    out = {}
+    for feat, loc in sorted(crops.items()):
+        if loc is None or loc["ncc"] < 0.9:
+            out[feat] = {
+                "match": False,
+                "why": "not a crop of the final render (hand-drawn diagram "
+                       "or pre-final scene state); best NCC "
+                       f"{0 if loc is None else loc['ncc']}",
+            }
+            continue
+        s = loc["scale"]
+        golden = np.asarray(
+            Image.open(os.path.join(os.path.dirname(GOLDEN), feat))
+            .convert("RGB")
+        )
+        dw, dh = round(ours.shape[1] / s), round(ours.shape[0] / s)
+        small = np.asarray(Image.fromarray(ours).resize((dw, dh), Image.BOX))
+        win = small[loc["y"] : loc["y"] + loc["h"],
+                    loc["x"] : loc["x"] + loc["w"]]
+        out[feat] = {
+            "match": True,
+            "golden_is_crop_of": loc["golden"],
+            "scale": s,
+            "offset": [loc["y"], loc["x"]],
+            "crop_vs_golden_psnr_db": loc["psnr_db"],  # golden self-check
+            "psnr_raw_db": round(psnr_u8(win, golden), 2),
+            "psnr_down4_db": round(psnr_down(win, golden, 4), 2),
+        }
+    return out
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--use", default=None, metavar="PNG",
@@ -86,6 +155,9 @@ def main(argv=None) -> int:
     p.add_argument("--golden", default=GOLDEN)
     p.add_argument("--json", default=os.path.join(REPO, "artifacts", "PSNR.json"))
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--self-b", default=None, metavar="PNG",
+                   help="second same-schedule render (different seed): "
+                        "record the MC self-noise floor next to the scores")
     args = p.parse_args(argv)
 
     if args.use is None:
@@ -107,6 +179,11 @@ def main(argv=None) -> int:
 
     result = score(render_path, args.golden)
     result["epochs"] = args.epochs if args.use is None else None
+    if args.self_b:
+        result.update(self_noise(render_path, args.self_b))
+    crops_json = os.path.join(REPO, "artifacts", "report_crops.json")
+    if os.path.exists(crops_json):
+        result["features"] = score_features(render_path, crops_json)
     print(json.dumps(result, indent=2))
     if args.json:
         os.makedirs(os.path.dirname(args.json), exist_ok=True)

@@ -83,17 +83,80 @@ def test_train_step_sharded_full_epoch():
     clips_d = jax.device_put(jnp.asarray(clips), sharding)
     accum = jax.device_put(jnp.zeros((clips.shape[0], 3), jnp.float32), sharding)
     key = jax.random.PRNGKey(0)
-    accum, casts, filtered = train_step_sharded(
+    accum, u8, counters = train_step_sharded(
         scene, demo_camera(), accum, clips_d, key, textures, cfg, mesh
     )
     out = np.asarray(accum)
     assert np.isfinite(out).all()
-    assert int(casts) > 0
+    assert int(np.asarray(counters)[0]) > 0
+    # in-jit sRGB encode matches encoding the returned accumulator
+    from raytracer_tpu.utils import color as color_utils
+    np.testing.assert_array_equal(
+        np.asarray(u8), np.asarray(color_utils.linear_to_u8(jnp.asarray(out)))
+    )
     # post_process ran: 99th-percentile luma is ~1
     from raytracer_tpu.utils import color
     luma = np.asarray(color.luma(jnp.asarray(out)))
     valid = luma[np.abs(luma) >= np.finfo(np.float32).tiny]
     assert abs(np.sort(valid)[int(len(valid) * 0.99)] - 1.0) < 1e-3
+
+
+def test_whitted_sharded_depth5_glass_scene():
+    """Depth-5 parity on the glass-heavy demo scene at 128x96: shard
+    boundaries cross the dielectric slabs and the TIR march, so this pins
+    that sharded wavefront pools behave identically to the single-device
+    ones at full bounce depth (VERDICT r2 weak #8)."""
+    from raytracer_tpu.scene.presets import demo_scene
+
+    scene, textures = demo_scene()
+    cfg = RenderConfig(width=128, height=96, depth=5, tile_rays=1536)
+    img_1, stats_1 = render_whitted(scene, textures, demo_camera(), cfg)
+    mesh = make_render_mesh(8)  # dp=4, sp=2: both axes exercised
+    img_s, stats_s = render_whitted_sharded(
+        scene, textures, demo_camera(), cfg, mesh
+    )
+    assert stats_s["dropped"] == 0
+    assert stats_s["casts"] == stats_1["casts"]
+    np.testing.assert_allclose(
+        np.asarray(img_s), np.asarray(img_1), atol=1e-5, rtol=1e-4
+    )
+
+
+def test_mc_epoch_sharded_matches_serial_same_keys():
+    """The sharded MC epoch equals a serial single-device recomputation
+    with the SAME per-(dp, sp)-rank folded keys: the mesh adds psum
+    reduction order, nothing else."""
+    from raytracer_tpu.ops import camera as camera_ops
+    from raytracer_tpu.ops.distributed import trace_distributed
+
+    scene, textures = spheres_scene()
+    cfg = RenderConfig(width=16, height=8, depth=2, tile_rays=16 * 8)
+    mesh = make_render_mesh(8)  # dp=4, sp=2
+    key = jax.random.PRNGKey(7)
+    img_s, stats = render_mc_epoch_sharded(
+        scene, textures, demo_camera(), cfg, mesh, key
+    )
+
+    dp, sp = mesh.shape["dp"], mesh.shape["sp"]
+    clips, _ = _pad_to(clip_coords(cfg.width, cfg.height), dp)
+    shard = clips.shape[0] // dp
+    camera = demo_camera()
+    total = np.zeros((clips.shape[0], 3), np.float32)
+    for di in range(dp):
+        local = jnp.asarray(clips[di * shard : (di + 1) * shard])
+        for si in range(sp):
+            k = jax.random.fold_in(jax.random.fold_in(key, di), si)
+            k_lens, k_path = jax.random.split(k)
+            offsets = (
+                jax.random.normal(k_lens, (local.shape[0], 2), local.dtype)
+                * cfg.blur
+            )
+            o, d = camera_ops.shoot_focus(camera, local, offsets, cfg.focus)
+            res = trace_distributed(scene, textures, o, d, k_path, cfg)
+            total[di * shard : (di + 1) * shard] += np.asarray(res.photon)
+    n = cfg.width * cfg.height
+    expect = total[:n].reshape(cfg.height, cfg.width, 3)
+    np.testing.assert_allclose(np.asarray(img_s), expect, atol=1e-5, rtol=1e-4)
 
 
 def test_init_multihost_wiring(monkeypatch):
