@@ -24,3 +24,23 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_jax_caches_between_modules():
+    """Bound accumulated XLA-CPU compile state.
+
+    A single pytest process running the whole suite used to SIGSEGV inside
+    XLA's backend_compile_and_load around the 70th test (always AFTER the
+    8-virtual-device test_parallel programs) — every test passes when run
+    in smaller batches, so the crash is an accumulation effect, not a test
+    bug.  Two mitigations ship: jitted-program caches are dropped between
+    test modules (this fixture), and the suite defaults to 4 xdist worker
+    processes (pyproject.toml addopts)."""
+    yield
+    jax.clear_caches()
+    import gc
+
+    gc.collect()
