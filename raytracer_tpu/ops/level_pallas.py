@@ -73,11 +73,16 @@ def _istore(ref, r, val):
 def _level_kernel(pp_ref, g1_ref, g2_ref, g3_ref, sph_ref, mat_ref,
                   mat_T_ref, light_ref,
                   contrib_ref, rch_ref, fch_ref, casts_ref,
-                  *, last: bool, direct: bool, blocked: bool, n_chunks: int,
+                  *scratch,
+                  last: bool, direct: bool, blocked: bool, n_chunks: int,
                   n_tri: int, n_sph: int, n_light: int, threshold: float,
                   max_distance: float, max_retries: int, textures):
     """pp: packed pool rows (see module docstring).  Children come out in
-    the SAME packed layout, ready for the group-compaction scatter."""
+    the SAME packed layout, ready for the group-compaction scatter.
+    `scratch` (chunk VMEM buffer + DMA semaphore) is present only when the
+    blocked table is HBM-streamed (kernel_common.ChunkTable)."""
+    if scratch:
+        g1_ref = kc.ChunkTable(g1_ref, scratch[0], scratch[1])
     alive = _iload(pp_ref, ROW_ALIVE) != 0
     pend = (pp_ref[8:9, :], pp_ref[9:10, :], pp_ref[10:11, :])
     shape = (1, pp_ref.shape[1])
@@ -290,13 +295,23 @@ def process_level(scene: Scene, textures, pool_packed, last: bool,
                                  memory_space=pltpu.VMEM)
     const = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
                                    memory_space=pltpu.VMEM)
+    # Large blocked tables stay in HBM; the kernel DMAs one chunk at a
+    # time into a VMEM scratch (kernel_common.ChunkTable) — only chunks
+    # some lane's ray enters pay the copy.
+    stream = blocked and g1.shape[0] > kc.STREAM_BLK_TRIS
+    g1_spec = (pl.BlockSpec(memory_space=pl.ANY) if stream else const(g1))
+    scratch_shapes = (
+        [pltpu.VMEM((kc.BLK_CHUNK, kc.BLK_COLS), jnp.float32),
+         pltpu.SemaphoreType.DMA]
+        if stream else []
+    )
     npad = pp.shape[1]
     contrib, rch, fch, casts = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
             row(N_ROWS),
-            const(g1), const(g2), const(g3), const(sph), const(mat_t),
+            g1_spec, const(g2), const(g3), const(sph), const(mat_t),
             const(mat_T), const(lights),
         ],
         out_specs=[row(3), row(N_ROWS), row(N_ROWS), row(1)],
@@ -306,6 +321,7 @@ def process_level(scene: Scene, textures, pool_packed, last: bool,
             jax.ShapeDtypeStruct((N_ROWS, npad), jnp.float32),
             jax.ShapeDtypeStruct((1, npad), jnp.int32),
         ],
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(pp, g1, g2, g3, sph, mat_t, mat_T, lights)
 

@@ -33,10 +33,12 @@ BLK_CHUNK = 128
 # outer slab test before testing the chunks individually.
 SUP_CHUNKS = 8
 
-# VMEM budget guard: the permuted [T_pad, 48] table occupies lane-padded
-# [T_pad, 128] f32 in VMEM (~0.5 KB/triangle); 16384 keeps the table at
-# ~8.4 MB, inside the ~16 MB/core budget with kernel intermediates.
-MAX_BLK_TRIS = 16384
+# NOTE: there is no triangle-count ceiling on the blocked layout.  Up to
+# kernel_common.STREAM_BLK_TRIS (=16384) the permuted [T_pad, 48] table is
+# VMEM-resident (lane-padded ~0.5 KB/triangle, ~8.4 MB at the threshold);
+# larger tables stay in HBM and the fused kernels DMA one chunk at a time
+# into a VMEM scratch (kernel_common.ChunkTable), gated by the same
+# chunk/supergroup AABB tests.
 
 
 def build_blocked(tri_v: np.ndarray, prim_order: np.ndarray):

@@ -240,13 +240,16 @@ class SceneBuilder:
                 bvh_prim_order=jnp.asarray(bvh.prim_order),
                 bvh_depth=bvh.depth,
             )
-            from raytracer_tpu.scene.blocked import MAX_BLK_TRIS, build_blocked
+            from raytracer_tpu.scene.blocked import build_blocked
 
-            if T <= MAX_BLK_TRIS:
-                perm, boxes = build_blocked(tri_v, bvh.prim_order)
-                bvh_fields.update(
-                    blk_perm=jnp.asarray(perm), blk_box=jnp.asarray(boxes)
-                )
+            # Blocked tables are built at EVERY size: up to
+            # kernel_common.STREAM_BLK_TRIS the permuted table lives in
+            # VMEM; past that the fused kernels stream chunks from HBM
+            # (ChunkTable), so there is no triangle-count ceiling.
+            perm, boxes = build_blocked(tri_v, bvh.prim_order)
+            bvh_fields.update(
+                blk_perm=jnp.asarray(perm), blk_box=jnp.asarray(boxes)
+            )
 
         j = jnp.asarray
         return Scene(

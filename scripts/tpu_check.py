@@ -25,17 +25,24 @@ _G = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                   "tests", "golden")
 GOLDEN = os.path.join(_G, "whitted_demo_64x48.npy")
 GOLDEN_MESH = os.path.join(_G, "whitted_mesh24_64x48.npy")
+GOLDEN_STREAM = os.path.join(_G, "whitted_mesh96_64x48.npy")
 
 
-def render(mesh: bool = False):
+def render(kind: str = "demo"):
     from raytracer_tpu.config import RenderConfig
     from raytracer_tpu.render import render_whitted
     from raytracer_tpu.scene.presets import demo_camera, demo_scene, mesh_scene
     from raytracer_tpu.utils.cache import enable_compile_cache
 
     enable_compile_cache()
-    if mesh:  # blocked two-tier kernels (1,164-tri terrain)
+    if kind == "mesh":  # blocked two-tier kernels (1,164-tri terrain)
         scene, textures, cam = mesh_scene(grid=24)
+    elif kind == "stream":
+        # 18,444 tris > kernel_common.STREAM_BLK_TRIS: the triangle table
+        # stays in HBM and the kernels DMA chunks into VMEM scratch
+        # (ChunkTable) — pins the streamed traversal on real hardware
+        # (VERDICT r2 item 4).
+        scene, textures, cam = mesh_scene(grid=96)
     else:
         scene, textures = demo_scene()
         cam = demo_camera()
@@ -55,8 +62,9 @@ def psnr(a, b):
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--update", action="store_true",
-                    help="regenerate the golden on the CPU backend")
+    ap.add_argument("--update", nargs="*", default=None, metavar="KIND",
+                    help="regenerate goldens on the CPU backend; optional "
+                         "subset of {demo, mesh, stream} (default: all)")
     # Compiled Mosaic kernels and the CPU path diverge in fp order
     # (broadcast vs matmul contractions, rsqrt/pow approximations), which
     # flips discrete branches (TIR boundaries, speculars) on isolated
@@ -68,13 +76,16 @@ def main() -> int:
                     help="max fraction of pixels with channel diff > 0.1")
     args = ap.parse_args()
 
-    if args.update:
+    if args.update is not None:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
         os.makedirs(os.path.dirname(GOLDEN), exist_ok=True)
-        for mesh, path in [(False, GOLDEN), (True, GOLDEN_MESH)]:
-            img = render(mesh)
+        for kind, path in [("demo", GOLDEN), ("mesh", GOLDEN_MESH),
+                           ("stream", GOLDEN_STREAM)]:
+            if args.update and kind not in args.update:
+                continue
+            img = render(kind)
             np.save(path, img)
             print(f"golden written: {path} mean={img.mean():.4f}")
         return 0
@@ -87,14 +98,15 @@ def main() -> int:
     # the terrain's coplanar-neighbor grazing shadows flip on last-ulp
     # differences (measured: ~0.4% scattered single pixels, 34 dB; a real
     # kernel bug shows as structured regions and a PSNR collapse).
-    for name, mesh, path, min_psnr, max_bad in [
-        ("demo", False, GOLDEN, args.min_psnr, args.max_bad_frac),
-        ("mesh24-blocked", True, GOLDEN_MESH, 30.0, 0.01),
+    for name, kind, path, min_psnr, max_bad in [
+        ("demo", "demo", GOLDEN, args.min_psnr, args.max_bad_frac),
+        ("mesh24-blocked", "mesh", GOLDEN_MESH, 30.0, 0.01),
+        ("mesh96-streamed", "stream", GOLDEN_STREAM, 30.0, 0.01),
     ]:
         if not os.path.exists(path):
             print(f"{name}: golden missing ({path}); run --update on CPU")
             continue
-        img = render(mesh)
+        img = render(kind)
         golden = np.load(path)
         p = psnr(img, golden)
         bad = float((np.abs(img - golden).max(axis=-1) > 0.1).mean())
