@@ -47,6 +47,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="enable jax_debug_nans (test mode; the reference "
                         "hints at NaN issues by filtering non-normal "
                         "photons, SURVEY.md §5.2)")
+    p.add_argument("--warm-cache", action="store_true",
+                   help="compile the render programs for this config into "
+                        "the persistent compile cache (tiny 1-epoch run, "
+                        "no PNG), then exit — bounds first-run latency on "
+                        "machines where cold compiles go through a remote "
+                        "compile service (minutes)")
     return p
 
 
@@ -96,6 +102,26 @@ def main(argv=None) -> int:
 
         mesh = make_render_mesh(args.devices)
         print(f"mesh: {dict(mesh.shape)}")
+    if args.warm_cache:
+        # Compile (and cache) exactly the programs the real run will use
+        # (the whitted frame and the fused epoch step at THIS config) by
+        # running a 1-epoch schedule to a temp file.  The persistent
+        # compile cache keys on the HLO, which does not depend on the
+        # epoch count, so the full run later hits the cache.
+        import dataclasses
+        import os as _os
+        import tempfile
+        import time
+
+        tmp = _os.path.join(tempfile.gettempdir(), "raytpu_warm.png")
+        t0 = time.time()
+        render_progressive(
+            scene, textures, camera, dataclasses.replace(cfg, epochs=1),
+            out_path=tmp, seed=args.seed, mesh=mesh, log=lambda m: None,
+        )
+        print(f"warm-cache: programs compiled+cached in "
+              f"{time.time() - t0:.1f}s")
+        return 0
     if args.profile:
         from raytracer_tpu.utils.profiling import print_profile, profile_trace
 

@@ -362,6 +362,179 @@ class TraceResult(NamedTuple):
     dropped: jnp.ndarray  # scalar: rays lost to pool overflow (want 0)
 
 
+# ---------------------------------------------------------------------------
+# Packed fused-kernel trace path
+# ---------------------------------------------------------------------------
+#
+# The fused level kernel (ops/level_pallas.py) consumes and emits the pool
+# as ONE packed [16, K] f32 array (int fields as raw bits).  Keeping that
+# layout END-TO-END — primary packing, kernel, group compaction, next
+# kernel — removes the per-level field pack/unpack glue that cost ~50 ms
+# per frame in round 2 (docs/PERF.md "data formatting"): per level the only
+# XLA ops between kernels are two transposes and the compaction scatter.
+
+
+def _fused_interp(scene, textures):
+    """Availability of the fused kernel path: interpret flag or None."""
+    from raytracer_tpu.ops.intersect import _pallas_choice
+    from raytracer_tpu.ops.kernel_common import kernel_textures_ok
+
+    interp = _pallas_choice()
+    if interp is None:
+        return None
+    if not ((scene.bvh_node_min is None or scene.blk_perm is not None)
+            and scene.n_prim > 0 and kernel_textures_ok(textures)):
+        return None
+    return interp
+
+
+def _pack_primary(ray_o, ray_d):
+    """Primary rays in the packed pool layout (level_pallas docstring)."""
+    n = ray_o.shape[0]
+    f = jnp.concatenate(
+        [
+            ray_o.T, ray_d.T,
+            jnp.ones((2, n), ray_o.dtype),  # c, s
+            jnp.zeros((3, n), ray_o.dtype),  # pending
+        ],
+        axis=0,
+    )
+    ints = jnp.concatenate(
+        [
+            jnp.zeros((1, n), jnp.int32),  # face (FRONT)
+            jnp.full((1, n), NO_EXCLUDE, jnp.int32),
+            jnp.zeros((1, n), jnp.int32),  # excl_face
+            jnp.arange(n, dtype=jnp.int32)[None, :],  # slot
+            jnp.ones((1, n), jnp.int32),  # alive
+        ],
+        axis=0,
+    )
+    return jnp.concatenate(
+        [f, jax.lax.bitcast_convert_type(ints, jnp.float32)], axis=0
+    )
+
+
+def _compact_packed(cands, k: int, group: int = 8):
+    """Group compaction in the packed [16, C] layout -> ([16, k], dropped).
+
+    Same group semantics as _compact (groups kept iff any lane is alive or
+    owes pending radiance; overflow counted, never silent), but the payload
+    is already packed: one transpose, one [group*16]-wide row scatter, one
+    transpose back."""
+    assert k % group == 0, (k, group)
+    c = cands.shape[1]
+    pad = (-c) % group
+    if pad:
+        cands = jnp.pad(cands, [(0, 0), (0, pad)])
+        c += pad
+    alive = jax.lax.bitcast_convert_type(cands[15], jnp.int32) != 0
+    keep = alive | jnp.any(cands[8:11] != 0.0, axis=0)
+    ng_in, ng_out = c // group, k // group
+    gkeepl = keep.reshape(ng_in, group)
+    gkeep = jnp.any(gkeepl, axis=1)
+    gcount = jnp.sum(gkeepl, axis=1, dtype=jnp.int32)
+    order = jnp.cumsum(gkeep.astype(jnp.int32)) - 1
+    dest = jnp.where(gkeep & (order < ng_out), order, ng_out)
+    dropped = jnp.sum(jnp.where(gkeep & (order >= ng_out), gcount, 0))
+    wide = cands.T.reshape(ng_in, group * 16)
+    new = jnp.zeros((ng_out, group * 16), cands.dtype).at[dest].set(
+        wide, mode="drop"
+    ).reshape(k, 16)
+    return new.T, dropped
+
+
+def _slot_of(pool_packed):
+    return jax.lax.bitcast_convert_type(pool_packed[14], jnp.int32)
+
+
+def _trace_whitted_packed(scene, textures, ray_o, ray_d, cfg, interp):
+    """trace_whitted over the fused level kernels, pool packed end-to-end."""
+    from raytracer_tpu.ops import level_pallas
+
+    def level(pp, last, direct):
+        return level_pallas.process_level(
+            scene, textures, pp, last, direct,
+            cfg.threshold, cfg.max_refract_distance, cfg.max_tir_retries,
+            interpret=interp,
+        )
+
+    n = ray_o.shape[0]
+    k = max(128, -(-int(n * cfg.capacity_factor) // 128) * 128)
+    casts = jnp.zeros((), jnp.int32)
+    dropped = jnp.zeros((), jnp.int32)
+
+    pp = _pack_primary(ray_o, ray_d)
+    contrib, rch, fch, c0 = level(pp, cfg.depth == 0, True)
+    casts = casts + c0
+    img = contrib.T  # identity slots: the contribution IS the framebuffer
+    if cfg.depth == 0:
+        return TraceResult(color=img, casts=casts, dropped=dropped)
+
+    # Level 1 peel: level 0 emits exactly 2n candidates, which IS a valid
+    # pool — compacting it would be a pure-waste scatter (slots are
+    # arange(n) twice: two plain adds deliver).
+    cands = jnp.concatenate([rch, fch], axis=1)  # [16, 2n]
+    pad = k - 2 * n
+    doubled = pad >= 0
+    if pad > 0:
+        cands = jnp.pad(cands, [(0, 0), (0, pad)])
+    elif pad < 0:
+        cands, drop = _compact_packed(cands, k, cfg.compact_group)
+        dropped = dropped + drop
+    last1 = cfg.depth == 1
+    contrib, rch, fch, c1 = level(cands, last1, doubled or last1)
+    casts = casts + c1
+    if doubled:
+        img = img + contrib[:, :n].T + contrib[:, n : 2 * n].T
+    elif last1:
+        img = img.at[_slot_of(cands)].add(contrib.T)
+    if last1:
+        return TraceResult(color=img, casts=casts, dropped=dropped)
+
+    # Deep levels (>= 2): narrower pool (live rays decay to ~0.3-0.6n).
+    k2 = max(
+        128, -(-(int(n * cfg.deep_capacity) + cfg.deep_slack) // 128) * 128
+    )
+    pool2, drop = _compact_packed(
+        jnp.concatenate([rch, fch], axis=1), k2, cfg.compact_group
+    )
+    dropped = dropped + drop
+    last2 = cfg.depth == 2
+    contrib, rch, fch, c2 = level(pool2, last2, last2)
+    casts = casts + c2
+    if last2:
+        img = img.at[_slot_of(pool2)].add(contrib.T)
+        return TraceResult(color=img, casts=casts, dropped=dropped)
+
+    # Tail levels (>= 3): narrow once more; fixed slack absorbs zombie
+    # (pending-carrier) pressure.
+    k3 = max(
+        128, -(-(int(n * cfg.tail_capacity) + cfg.tail_slack) // 128) * 128
+    )
+    pool3, drop = _compact_packed(
+        jnp.concatenate([rch, fch], axis=1), k3, cfg.compact_group
+    )
+    dropped = dropped + drop
+
+    def level_body(i, state):
+        pool, casts, dropped = state
+        _, rch, fch, ci = level(pool, False, False)
+        pool, drop = _compact_packed(
+            jnp.concatenate([rch, fch], axis=1), k3, cfg.compact_group
+        )
+        return pool, casts + ci, dropped + drop
+
+    pool_last, casts, dropped = jax.lax.fori_loop(
+        3, cfg.depth, level_body, (pool3, casts, dropped)
+    )
+    # Final level peeled: emits no children; ONE scatter delivers every
+    # pending chain.
+    contrib, _, _, cl = level(pool_last, True, True)
+    casts = casts + cl
+    img = img.at[_slot_of(pool_last)].add(contrib.T)
+    return TraceResult(color=img, casts=casts, dropped=dropped)
+
+
 def _process_level(scene, textures, cfg, pool: Pool, img, casts, last: bool,
                    identity_slots: bool | str):
     """One wavefront level == one recursion depth of ray_trace.
@@ -392,34 +565,6 @@ def _process_level(scene, textures, cfg, pool: Pool, img, casts, last: bool,
         if last:
             return img.at[pool.slot].add(contrib)
         return img  # pooled non-last: rides `pending` with the children
-
-    from raytracer_tpu.ops.intersect import _pallas_choice
-    from raytracer_tpu.ops.kernel_common import kernel_textures_ok
-
-    interp = _pallas_choice()
-    if (interp is not None
-            and (scene.bvh_node_min is None or scene.blk_perm is not None)
-            and scene.n_prim > 0 and kernel_textures_ok(textures)):
-        # Fused path: the whole level (cast + shade + shadow sweeps + march
-        # + child emission) is one Pallas launch (ops/level_pallas.py);
-        # large meshes take the blocked chunk-gated sweeps inside the same
-        # kernel (kernel_common BlockedGeom).
-        from raytracer_tpu.ops import level_pallas
-
-        contrib, ch_r, ch_f, lvl_casts = level_pallas.process_level(
-            scene, textures, pool.o, pool.d, pool.face, pool.excl_prim,
-            pool.excl_face, pool.slot, pool.c, pool.s, pool.pending,
-            pool.alive, last, direct,
-            cfg.threshold, cfg.max_refract_distance, cfg.max_tir_retries,
-            interpret=interp,
-        )
-        casts = casts + lvl_casts
-        img = deliver(img, contrib)
-        candidates = jax.tree.map(
-            lambda a, b: jnp.concatenate([a, b], axis=0),
-            Pool(**ch_r), Pool(**ch_f),
-        )
-        return candidates, img, casts
 
     hits = cast(scene, pool.rays(), active=pool.alive)
     casts = casts + jnp.sum(pool.alive)
@@ -516,7 +661,15 @@ def trace_whitted(
     framebuffer add; bounce levels run at pool width K = capacity_factor*N
     with compaction at level ENTRY, so the final level's dead children are
     never scattered.
+
+    On TPU backends the whole ladder runs over the fused level kernels
+    with the pool packed end-to-end (_trace_whitted_packed); this jnp
+    version is the oracle/fallback path (BVH scenes, host textures).
     """
+    interp = _fused_interp(scene, textures)
+    if interp is not None:
+        return _trace_whitted_packed(scene, textures, ray_o, ray_d, cfg,
+                                     interp)
     n = ray_o.shape[0]
     k = max(128, -(-int(n * cfg.capacity_factor) // 128) * 128)
 

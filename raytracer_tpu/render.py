@@ -209,6 +209,73 @@ def render_step(
     }
 
 
+@partial(jax.jit, static_argnums=(4, 5, 6))
+def _steps_frame(scene: Scene, camera: Camera, clips_tiled, key, textures,
+                 cfg: RenderConfig, n_steps: int):
+    """n_steps full progressive steps (whitted frame + MC epoch each) in
+    ONE dispatch.  A single-step dispatch pays a fixed ~30-50 ms
+    dispatch+fetch round-trip through a remote-attached chip
+    (docs/PERF.md); batching K steps amortizes it to noise, which is also
+    how the real schedule behaves (the progressive driver pipelines epochs
+    against the writer thread)."""
+
+    def body(i, carry):
+        _, photons_prev, counters = carry
+        # serial no-op dependence (min(photons) is 0 — photons are
+        # non-negative, NaNs are filtered): stops XLA hoisting the
+        # loop-invariant whitted pass out of the step loop, so every step
+        # honestly pays the full frame.
+        eps = jnp.minimum(jnp.min(photons_prev), 0.0).astype(
+            clips_tiled.dtype
+        )
+        clips_i = clips_tiled + eps
+        colors, wc = _whitted_frame(scene, camera, clips_i, textures, cfg)
+        photons, mc = _mc_frame(
+            scene, camera, clips_i, jax.random.fold_in(key, i), textures, cfg
+        )
+        return colors, photons, counters + jnp.concatenate([wc, mc])
+
+    shape = clips_tiled.shape[:2] + (3,)
+    init = (
+        jnp.zeros(shape, jnp.float32),
+        jnp.zeros(shape, jnp.float32),
+        jnp.zeros((4,), jnp.int32),
+    )
+    return jax.lax.fori_loop(0, n_steps, body, init)
+
+
+def render_steps(
+    scene: Scene, textures, camera: Camera, cfg: RenderConfig, key,
+    n_steps: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
+    """n_steps fused progressive steps in one dispatch (bench harness).
+
+    Step i uses fold_in(key, i); returns the LAST step's (whitted, photons)
+    images plus counters summed over all steps."""
+    n = cfg.width * cfg.height
+    clips_tiled, pad, inv = _tiled_clips(
+        cfg, block_order=scene.blk_perm is not None
+    )
+    colors, photons, counters = _steps_frame(
+        scene, camera, clips_tiled, key, textures, cfg, n_steps
+    )
+
+    def fix(x):
+        flat = x.reshape(-1, 3)[:n]
+        if inv is not None:
+            flat = flat[inv]
+        return flat.reshape(cfg.height, cfg.width, 3)
+
+    c = np.asarray(counters)  # one fetch for all four counters
+    return fix(colors), fix(photons), {
+        "casts": int(c[0]) + int(c[2]),
+        "dropped": int(c[1]),
+        "filtered": int(c[3]),
+        "primary_rays": n * n_steps,
+        "steps": n_steps,
+    }
+
+
 def render_distributed_epoch(
     scene: Scene, textures, camera: Camera, cfg: RenderConfig, key
 ) -> Tuple[jnp.ndarray, dict]:

@@ -49,3 +49,15 @@ def test_cli_epochs_and_checkpoint(tmp_path):
                "--checkpoint", ckpt, "--tile-rays", "96"], cwd=REPO)
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert "resumed at epoch 2" in r2.stdout
+
+
+def test_cli_warm_cache(tmp_path):
+    """--warm-cache compiles the config's programs and exits without
+    touching the output path."""
+    out = str(tmp_path / "never.png")
+    r = _run(["--scene", "01-spheres", "--width", "12", "--height", "8",
+              "--depth", "1", "--epochs", "5", "--out", out,
+              "--tile-rays", "96", "--warm-cache"], cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "warm-cache: programs compiled+cached" in r.stdout
+    assert not os.path.exists(out)

@@ -81,3 +81,37 @@ def test_render_step_matches_separate_calls():
     assert stats2["casts"] == stats1["casts"] + mstats1["casts"]
     assert stats2["dropped"] == stats1["dropped"]
     assert stats2["filtered"] == mstats1["filtered"]
+
+
+def test_render_steps_batched_matches_per_step_calls():
+    """render_steps (K steps fused in one dispatch, the bench harness path)
+    must equal K render_step calls with the same per-step folded keys:
+    identical last-step images, counters summed over steps."""
+    import jax
+
+    from raytracer_tpu.render import render_step, render_steps
+    from raytracer_tpu.scene.presets import demo_camera, demo_scene
+
+    scene, textures = demo_scene()
+    cfg = RenderConfig(width=16, height=12, depth=3, tile_rays=16 * 12)
+    key = jax.random.PRNGKey(4)
+    n_steps = 3
+    img_b, ph_b, stats_b = render_steps(
+        scene, textures, demo_camera(), cfg, key, n_steps
+    )
+    casts = dropped = filtered = 0
+    for i in range(n_steps):
+        img_i, ph_i, st = render_step(
+            scene, textures, demo_camera(), cfg, jax.random.fold_in(key, i)
+        )
+        casts += st["casts"]
+        dropped += st["dropped"]
+        filtered += st["filtered"]
+    np.testing.assert_allclose(np.asarray(img_b), np.asarray(img_i),
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ph_b), np.asarray(ph_i),
+                               rtol=2e-4, atol=1e-6)
+    assert stats_b["casts"] == casts
+    assert stats_b["dropped"] == dropped == 0
+    assert stats_b["filtered"] == filtered
+    assert stats_b["steps"] == n_steps
