@@ -112,9 +112,17 @@ def trace_distributed(
     if (interp is not None
             and (scene.bvh_node_min is None or scene.blk_perm is not None)
             and scene.n_prim > 0 and kernel_textures_ok(textures)):
-        from raytracer_tpu.ops import mc_pallas
+        from raytracer_tpu.ops import mc_binned, mc_pallas
 
-        photon_raw, casts = mc_pallas.trace(
+        # Large blocked meshes: scattered bounce rays defeat the chunk
+        # gating inside the whole-walk mega-kernel, so use the binned
+        # per-bounce path (sort lanes by origin cell x direction octant
+        # between bounces) to restore per-tile coherence.  Small scenes
+        # keep the mega-kernel: one dispatch, no sort overhead.
+        use_binned = (scene.blk_perm is not None
+                      and scene.n_tri >= mc_binned.BINNED_MIN_TRIS)
+        tracer = mc_binned.trace if use_binned else mc_pallas.trace
+        photon_raw, casts = tracer(
             scene, textures, ray_o, ray_d, unifs, cfg.depth,
             cfg.max_refract_distance, cfg.max_tir_retries, interpret=interp,
         )

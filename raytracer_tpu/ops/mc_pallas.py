@@ -33,13 +33,210 @@ from raytracer_tpu.scene.types import FACE_BACK, FACE_FRONT, Scene
 
 _BIG = kc._BIG
 
+# Packed per-lane MC walk state (the binned per-bounce path,
+# ops/mc_binned.py, carries exactly these rows between bounce kernels;
+# int fields are bitcast to f32).  Order matters: _pack_state /
+# _unpack_state below and the binned kernels index by these constants.
+ST_ALIVE = 0  # int
+ST_AR, ST_AG, ST_AB = 1, 2, 3
+ST_SR, ST_SG, ST_SB = 4, 5, 6
+ST_PX, ST_PY, ST_PZ = 7, 8, 9
+ST_NX, ST_NY, ST_NZ = 10, 11, 12
+ST_U, ST_V = 13, 14
+ST_PRIM, ST_OBJ, ST_BACK = 15, 16, 17  # int, int, int
+ST_DX, ST_DY, ST_DZ = 18, 19, 20
+ST_SLOT = 21  # int
+N_ST = 22
+_ST_INT = (ST_ALIVE, ST_PRIM, ST_OBJ, ST_BACK, ST_SLOT)
+
+
+def mc_step(geom, mat_t, mat_T, lights, n_light: int, textures,
+            max_distance: float, max_retries: int, st: dict,
+            u_sel, u_phi, theta):
+    """ONE roulette bounce of the distributed walk (main.rs:521-614).
+
+    `st` holds the walk state as [1, R] rows: alive, accum a{r,g,b},
+    scale s{r,g,b}, current hit (p, n, uv, prim, obj, back) and the
+    incoming direction d.  Returns (new_st, casts_delta).  Shared by the
+    whole-walk mega-kernel (_mc_kernel) and the binned per-bounce path
+    (ops/mc_binned.py) so both consume identical math + randomness.
+    """
+    alive = st["alive"]
+    ar, ag, ab = st["ar"], st["ag"], st["ab"]
+    sr, sg, sb = st["sr"], st["sg"], st["sb"]
+    cpx, cpy, cpz = st["cpx"], st["cpy"], st["cpz"]
+    cnx, cny, cnz = st["cnx"], st["cny"], st["cnz"]
+    cu, cv = st["cu"], st["cv"]
+    cprim, cobj, cback = st["cprim"], st["cobj"], st["cback"]
+    cdx, cdy, cdz = st["cdx"], st["cdy"], st["cdz"]
+    shape = alive.shape
+    front = jnp.zeros(shape, jnp.int32)
+
+    m = kc.eval_material(mat_t, textures, cobj, cu, cv, mat_T)
+    w0 = (1.0 - m["shiness"]) * (1.0 - m["transparency"])
+    w1 = m["shiness"] * (1.0 - m["transparency"])
+    w2 = m["transparency"]
+    r = u_sel * (w0 + w1 + w2)  # weighted_select (main.rs:652-666)
+    sel_d = r < w0
+    sel_r = ~sel_d & (r < w0 + w1)
+    sel_f = ~sel_d & ~sel_r
+
+    # scatter_hit lobe (main.rs:539-554): diffuse around -normal exp 1,
+    # glossy around the incoming direction exp smoothness (558/577/596)
+    expo = jnp.where(sel_d, 1.0, m["smoothness"])
+    axx = jnp.where(sel_d, -cnx, cdx)
+    axy = jnp.where(sel_d, -cny, cdy)
+    axz = jnp.where(sel_d, -cnz, cdz)
+    axx, axy, axz = kc.normalize3(axx, axy, axz)
+    phi = kc.acos(kc.powf(1.0 - u_phi, expo))
+    sp = jnp.sin(phi)
+    lx = sp * jnp.cos(theta)
+    ly = sp * jnp.sin(theta)
+    lz = jnp.cos(phi)
+    sdx, sdy, sdz = kc.rotate_from_z(axx, axy, axz, lx, ly, lz)
+
+    cosine = -(cnx * sdx + cny * sdy + cnz * sdz)
+    live = alive & (cosine > 0.0)  # main.rs:560/579/598
+
+    fx, fy, fz = kc.reflect3(sdx, sdy, sdz, cnx, cny, cnz)
+    excl_face_r = jnp.where(cback, FACE_FRONT, FACE_BACK)
+
+    want_f = live & sel_f
+    mm = geom.march(cpx, cpy, cpz, cnx, cny, cnz, sdx, sdy, sdz,
+                    m["refraction"], want_f, max_distance, max_retries)
+    casts = mm["iters"]
+
+    adv_ox = jnp.where(sel_f, mm["ex"], cpx)
+    adv_oy = jnp.where(sel_f, mm["ey"], cpy)
+    adv_oz = jnp.where(sel_f, mm["ez"], cpz)
+    adv_dx = jnp.where(sel_f, mm["odx"], fx)
+    adv_dy = jnp.where(sel_f, mm["ody"], fy)
+    adv_dz = jnp.where(sel_f, mm["odz"], fz)
+    adv_excl_prim = jnp.where(sel_f, mm["prim"], cprim)
+    adv_excl_face = jnp.where(sel_f, FACE_BACK, excl_face_r)
+    adv_active = live & (~sel_f | mm["escaped"])
+
+    nxt = geom.nearest(
+        (adv_ox, adv_oy, adv_oz), (adv_dx, adv_dy, adv_dz),
+        front, adv_excl_prim, adv_excl_face, adv_active,
+    )
+    casts = casts + adv_active.astype(jnp.int32)
+    use_next = nxt["valid"]
+
+    # merged shade: next hit where the advance cast hit, else the
+    # scattered self-shade (miss terminals 571-573/590-592); refract
+    # lanes whose escape cast missed contribute black (607)
+    s_px = jnp.where(use_next, nxt["px"], cpx)
+    s_py = jnp.where(use_next, nxt["py"], cpy)
+    s_pz = jnp.where(use_next, nxt["pz"], cpz)
+    s_nx = jnp.where(use_next, nxt["nx"], cnx)
+    s_ny = jnp.where(use_next, nxt["ny"], cny)
+    s_nz = jnp.where(use_next, nxt["nz"], cnz)
+    s_u = jnp.where(use_next, nxt["u"], cu)
+    s_v = jnp.where(use_next, nxt["v"], cv)
+    s_prim = jnp.where(use_next, nxt["prim"], cprim)
+    s_obj = jnp.where(use_next, nxt["obj"], cobj)
+    s_rdx = jnp.where(use_next, adv_dx, sdx)
+    s_rdy = jnp.where(use_next, adv_dy, sdy)
+    s_rdz = jnp.where(use_next, adv_dz, sdz)
+    need_shade = adv_active & (use_next | ~sel_f)
+
+    m2 = kc.eval_material(mat_t, textures, s_obj, s_u, s_v, mat_T)
+    nax, nay, naz = kc.rotate_from_z(s_nx, s_ny, s_nz,
+                                     m2["tnx"], m2["tny"], m2["tnz"])
+    sweep = geom.shadow_sweep(s_px, s_py, s_pz, s_prim)
+    shr, shg, shb, cnt = kc.get_shade(
+        m2, lights, s_px, s_py, s_pz, nax, nay, naz,
+        -s_rdx, -s_rdy, -s_rdz, need_shade, sweep, n_light,
+    )
+    casts = casts + cnt
+
+    # BRDF against the unadjusted hit normal (566-570/585-589)
+    lam = fx * cnx + fy * cny + fz * cnz
+    pos_lam = lam > 0.0
+    bdr = jnp.where(pos_lam, m["dr"] * lam, 0.0)
+    bdg = jnp.where(pos_lam, m["dg"] * lam, 0.0)
+    bdb = jnp.where(pos_lam, m["db"] * lam, 0.0)
+    e = 1.0 / (m["smoothness"] + kc.F32_EPS)
+    energy = (e + 8.0) / np.float32(8.0 * np.pi)
+    rfx = 2.0 * lam * cnx - fx
+    rfy = 2.0 * lam * cny - fy
+    rfz = 2.0 * lam * cnz - fz
+    amount = kc.powf(
+        jnp.maximum(-(rfx * cdx + rfy * cdy + rfz * cdz), 0.0), e
+    ) * energy
+    bsr = jnp.where(pos_lam, m["sr"] * amount, 0.0)
+    bsg = jnp.where(pos_lam, m["sg"] * amount, 0.0)
+    bsb = jnp.where(pos_lam, m["sb"] * amount, 0.0)
+    brr = jnp.where(sel_d, bdr, bsr)
+    brg = jnp.where(sel_d, bdg, bsg)
+    brb = jnp.where(sel_d, bdb, bsb)
+    decay = kc.powf(m["decay"], mm["travel"])
+
+    half = jnp.float32(0.5)
+    is_rb = ~sel_f  # diffuse / reflect branch
+    hit_scale = jnp.where(use_next, half, 1.0)
+    Ar = jnp.where(is_rb, hit_scale * shr, decay * shr)
+    Ag = jnp.where(is_rb, hit_scale * shg, decay * shg)
+    Ab = jnp.where(is_rb, hit_scale * shb, decay * shb)
+    B_base = jnp.where(use_next, half, 0.0)
+    Br = jnp.where(is_rb, B_base * brr, decay)
+    Bg = jnp.where(is_rb, B_base * brg, decay)
+    Bb = jnp.where(is_rb, B_base * brb, decay)
+
+    ns = need_shade
+    ar = ar + jnp.where(ns, sr * Ar, 0.0)
+    ag = ag + jnp.where(ns, sg * Ag, 0.0)
+    ab = ab + jnp.where(ns, sb * Ab, 0.0)
+    aa = adv_active
+    sr = sr * jnp.where(aa, Br, 0.0)
+    sg = sg * jnp.where(aa, Bg, 0.0)
+    sb = sb * jnp.where(aa, Bb, 0.0)
+
+    new_st = dict(
+        alive=adv_active & use_next,
+        ar=ar, ag=ag, ab=ab, sr=sr, sg=sg, sb=sb,
+        cpx=nxt["px"], cpy=nxt["py"], cpz=nxt["pz"],
+        cnx=nxt["nx"], cny=nxt["ny"], cnz=nxt["nz"],
+        cu=nxt["u"], cv=nxt["v"],
+        cprim=nxt["prim"], cobj=nxt["obj"], cback=nxt["backface"],
+        cdx=adv_dx, cdy=adv_dy, cdz=adv_dz,
+    )
+    return new_st, casts
+
+
+def mc_terminal(geom, mat_t, mat_T, lights, n_light: int, textures,
+                st: dict):
+    """Depth-exhausted terminal shade (main.rs:524-527): accum +=
+    scale * shade(self) on still-alive lanes.  Returns (ar, ag, ab,
+    casts_delta)."""
+    alive = st["alive"]
+    cpx, cpy, cpz = st["cpx"], st["cpy"], st["cpz"]
+    cnx, cny, cnz = st["cnx"], st["cny"], st["cnz"]
+    cdx, cdy, cdz = st["cdx"], st["cdy"], st["cdz"]
+    m3 = kc.eval_material(mat_t, textures, st["cobj"], st["cu"], st["cv"],
+                          mat_T)
+    nax, nay, naz = kc.rotate_from_z(cnx, cny, cnz,
+                                     m3["tnx"], m3["tny"], m3["tnz"])
+    sweep = geom.shadow_sweep(cpx, cpy, cpz, st["cprim"])
+    shr, shg, shb, cnt = kc.get_shade(
+        m3, lights, cpx, cpy, cpz, nax, nay, naz, -cdx, -cdy, -cdz,
+        alive, sweep, n_light,
+    )
+    ar = st["ar"] + jnp.where(alive, st["sr"] * shr, 0.0)
+    ag = st["ag"] + jnp.where(alive, st["sg"] * shg, 0.0)
+    ab = st["ab"] + jnp.where(alive, st["sb"] * shb, 0.0)
+    return ar, ag, ab, cnt
+
 
 def _mc_kernel(o_ref, d_ref, unif_ref, g1_ref, g2_ref, g3_ref, sph_ref,
                mat_ref, mat_T_ref, light_ref,
-               photon_ref, casts_ref, *, blocked: bool, n_chunks: int,
+               photon_ref, casts_ref, *scratch, blocked: bool, n_chunks: int,
                n_tri: int, n_sph: int,
                n_light: int, depth: int, max_distance: float,
                max_retries: int, textures):
+    if scratch:  # HBM-streamed blocked table (kernel_common.ChunkTable)
+        g1_ref = kc.ChunkTable(g1_ref, scratch[0], scratch[1])
     o = (o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :])
     d = (d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :])
     sph = sph_ref[:, :]
@@ -57,168 +254,34 @@ def _mc_kernel(o_ref, d_ref, unif_ref, g1_ref, g2_ref, g3_ref, sph_ref,
 
     # primary cast (main.rs:1150)
     h = geom.nearest(o, d, front, no_excl, front, jnp.ones(shape, bool))
-    alive = h["valid"]
     casts = jnp.ones(shape, jnp.int32)
 
-    ar = jnp.zeros(shape, jnp.float32)
-    ag = jnp.zeros(shape, jnp.float32)
-    ab = jnp.zeros(shape, jnp.float32)
-    sr = jnp.ones(shape, jnp.float32)
-    sg = jnp.ones(shape, jnp.float32)
-    sb = jnp.ones(shape, jnp.float32)
-
-    cpx, cpy, cpz = h["px"], h["py"], h["pz"]
-    cnx, cny, cnz = h["nx"], h["ny"], h["nz"]
-    cu, cv = h["u"], h["v"]
-    cprim, cobj, cback = h["prim"], h["obj"], h["backface"]
-    cdx, cdy, cdz = d
+    zero = jnp.zeros(shape, jnp.float32)
+    one = jnp.ones(shape, jnp.float32)
+    st = dict(
+        alive=h["valid"],
+        ar=zero, ag=zero, ab=zero, sr=one, sg=one, sb=one,
+        cpx=h["px"], cpy=h["py"], cpz=h["pz"],
+        cnx=h["nx"], cny=h["ny"], cnz=h["nz"],
+        cu=h["u"], cv=h["v"],
+        cprim=h["prim"], cobj=h["obj"], cback=h["backface"],
+        cdx=d[0], cdy=d[1], cdz=d[2],
+    )
 
     for step in range(depth):
-        u_sel = unif_ref[3 * step : 3 * step + 1, :]
-        u_phi = unif_ref[3 * step + 1 : 3 * step + 2, :]
-        theta = unif_ref[3 * step + 2 : 3 * step + 3, :]
-
-        m = kc.eval_material(mat_t, textures, cobj, cu, cv, mat_T)
-        w0 = (1.0 - m["shiness"]) * (1.0 - m["transparency"])
-        w1 = m["shiness"] * (1.0 - m["transparency"])
-        w2 = m["transparency"]
-        r = u_sel * (w0 + w1 + w2)  # weighted_select (main.rs:652-666)
-        sel_d = r < w0
-        sel_r = ~sel_d & (r < w0 + w1)
-        sel_f = ~sel_d & ~sel_r
-
-        # scatter_hit lobe (main.rs:539-554): diffuse around -normal exp 1,
-        # glossy around the incoming direction exp smoothness (558/577/596)
-        expo = jnp.where(sel_d, 1.0, m["smoothness"])
-        axx = jnp.where(sel_d, -cnx, cdx)
-        axy = jnp.where(sel_d, -cny, cdy)
-        axz = jnp.where(sel_d, -cnz, cdz)
-        axx, axy, axz = kc.normalize3(axx, axy, axz)
-        phi = kc.acos(kc.powf(1.0 - u_phi, expo))
-        sp = jnp.sin(phi)
-        lx = sp * jnp.cos(theta)
-        ly = sp * jnp.sin(theta)
-        lz = jnp.cos(phi)
-        sdx, sdy, sdz = kc.rotate_from_z(axx, axy, axz, lx, ly, lz)
-
-        cosine = -(cnx * sdx + cny * sdy + cnz * sdz)
-        live = alive & (cosine > 0.0)  # main.rs:560/579/598
-
-        fx, fy, fz = kc.reflect3(sdx, sdy, sdz, cnx, cny, cnz)
-        excl_face_r = jnp.where(cback, FACE_FRONT, FACE_BACK)
-
-        want_f = live & sel_f
-        mm = geom.march(cpx, cpy, cpz, cnx, cny, cnz, sdx, sdy, sdz,
-                        m["refraction"], want_f, max_distance, max_retries)
-        casts = casts + mm["iters"]
-
-        adv_ox = jnp.where(sel_f, mm["ex"], cpx)
-        adv_oy = jnp.where(sel_f, mm["ey"], cpy)
-        adv_oz = jnp.where(sel_f, mm["ez"], cpz)
-        adv_dx = jnp.where(sel_f, mm["odx"], fx)
-        adv_dy = jnp.where(sel_f, mm["ody"], fy)
-        adv_dz = jnp.where(sel_f, mm["odz"], fz)
-        adv_excl_prim = jnp.where(sel_f, mm["prim"], cprim)
-        adv_excl_face = jnp.where(sel_f, FACE_BACK, excl_face_r)
-        adv_active = live & (~sel_f | mm["escaped"])
-
-        nxt = geom.nearest(
-            (adv_ox, adv_oy, adv_oz), (adv_dx, adv_dy, adv_dz),
-            front, adv_excl_prim, adv_excl_face, adv_active,
+        st, dc = mc_step(
+            geom, mat_t, mat_T, lights, n_light, textures,
+            max_distance, max_retries, st,
+            unif_ref[3 * step : 3 * step + 1, :],
+            unif_ref[3 * step + 1 : 3 * step + 2, :],
+            unif_ref[3 * step + 2 : 3 * step + 3, :],
         )
-        casts = casts + adv_active.astype(jnp.int32)
-        use_next = nxt["valid"]
-
-        # merged shade: next hit where the advance cast hit, else the
-        # scattered self-shade (miss terminals 571-573/590-592); refract
-        # lanes whose escape cast missed contribute black (607)
-        s_px = jnp.where(use_next, nxt["px"], cpx)
-        s_py = jnp.where(use_next, nxt["py"], cpy)
-        s_pz = jnp.where(use_next, nxt["pz"], cpz)
-        s_nx = jnp.where(use_next, nxt["nx"], cnx)
-        s_ny = jnp.where(use_next, nxt["ny"], cny)
-        s_nz = jnp.where(use_next, nxt["nz"], cnz)
-        s_u = jnp.where(use_next, nxt["u"], cu)
-        s_v = jnp.where(use_next, nxt["v"], cv)
-        s_prim = jnp.where(use_next, nxt["prim"], cprim)
-        s_obj = jnp.where(use_next, nxt["obj"], cobj)
-        s_rdx = jnp.where(use_next, adv_dx, sdx)
-        s_rdy = jnp.where(use_next, adv_dy, sdy)
-        s_rdz = jnp.where(use_next, adv_dz, sdz)
-        need_shade = adv_active & (use_next | ~sel_f)
-
-        m2 = kc.eval_material(mat_t, textures, s_obj, s_u, s_v, mat_T)
-        nax, nay, naz = kc.rotate_from_z(s_nx, s_ny, s_nz,
-                                         m2["tnx"], m2["tny"], m2["tnz"])
-        sweep = geom.shadow_sweep(s_px, s_py, s_pz, s_prim)
-        shr, shg, shb, cnt = kc.get_shade(
-            m2, lights, s_px, s_py, s_pz, nax, nay, naz,
-            -s_rdx, -s_rdy, -s_rdz, need_shade, sweep, n_light,
-        )
-        casts = casts + cnt
-
-        # BRDF against the unadjusted hit normal (566-570/585-589)
-        lam = fx * cnx + fy * cny + fz * cnz
-        pos_lam = lam > 0.0
-        bdr = jnp.where(pos_lam, m["dr"] * lam, 0.0)
-        bdg = jnp.where(pos_lam, m["dg"] * lam, 0.0)
-        bdb = jnp.where(pos_lam, m["db"] * lam, 0.0)
-        e = 1.0 / (m["smoothness"] + kc.F32_EPS)
-        energy = (e + 8.0) / np.float32(8.0 * np.pi)
-        rfx = 2.0 * lam * cnx - fx
-        rfy = 2.0 * lam * cny - fy
-        rfz = 2.0 * lam * cnz - fz
-        amount = kc.powf(
-            jnp.maximum(-(rfx * cdx + rfy * cdy + rfz * cdz), 0.0), e
-        ) * energy
-        bsr = jnp.where(pos_lam, m["sr"] * amount, 0.0)
-        bsg = jnp.where(pos_lam, m["sg"] * amount, 0.0)
-        bsb = jnp.where(pos_lam, m["sb"] * amount, 0.0)
-        brr = jnp.where(sel_d, bdr, bsr)
-        brg = jnp.where(sel_d, bdg, bsg)
-        brb = jnp.where(sel_d, bdb, bsb)
-        decay = kc.powf(m["decay"], mm["travel"])
-
-        half = jnp.float32(0.5)
-        is_rb = ~sel_f  # diffuse / reflect branch
-        hit_scale = jnp.where(use_next, half, 1.0)
-        Ar = jnp.where(is_rb, hit_scale * shr, decay * shr)
-        Ag = jnp.where(is_rb, hit_scale * shg, decay * shg)
-        Ab = jnp.where(is_rb, hit_scale * shb, decay * shb)
-        B_base = jnp.where(use_next, half, 0.0)
-        Br = jnp.where(is_rb, B_base * brr, decay)
-        Bg = jnp.where(is_rb, B_base * brg, decay)
-        Bb = jnp.where(is_rb, B_base * brb, decay)
-
-        ns = need_shade
-        ar = ar + jnp.where(ns, sr * Ar, 0.0)
-        ag = ag + jnp.where(ns, sg * Ag, 0.0)
-        ab = ab + jnp.where(ns, sb * Ab, 0.0)
-        aa = adv_active
-        sr = sr * jnp.where(aa, Br, 0.0)
-        sg = sg * jnp.where(aa, Bg, 0.0)
-        sb = sb * jnp.where(aa, Bb, 0.0)
-
-        alive = adv_active & use_next
-        cpx, cpy, cpz = nxt["px"], nxt["py"], nxt["pz"]
-        cnx, cny, cnz = nxt["nx"], nxt["ny"], nxt["nz"]
-        cu, cv = nxt["u"], nxt["v"]
-        cprim, cobj, cback = nxt["prim"], nxt["obj"], nxt["backface"]
-        cdx, cdy, cdz = adv_dx, adv_dy, adv_dz
+        casts = casts + dc
 
     # depth exhausted: terminate with shade(self) (main.rs:524-527)
-    m3 = kc.eval_material(mat_t, textures, cobj, cu, cv, mat_T)
-    nax, nay, naz = kc.rotate_from_z(cnx, cny, cnz,
-                                     m3["tnx"], m3["tny"], m3["tnz"])
-    sweep = geom.shadow_sweep(cpx, cpy, cpz, cprim)
-    shr, shg, shb, cnt = kc.get_shade(
-        m3, lights, cpx, cpy, cpz, nax, nay, naz, -cdx, -cdy, -cdz,
-        alive, sweep, n_light,
-    )
+    ar, ag, ab, cnt = mc_terminal(geom, mat_t, mat_T, lights, n_light,
+                                  textures, st)
     casts = casts + cnt
-    ar = ar + jnp.where(alive, sr * shr, 0.0)
-    ag = ag + jnp.where(alive, sg * shg, 0.0)
-    ab = ab + jnp.where(alive, sb * shb, 0.0)
 
     photon_ref[0:1, :] = ar
     photon_ref[1:2, :] = ag
@@ -283,17 +346,25 @@ def trace(scene: Scene, textures, ray_o, ray_d, unifs, depth: int,
     const = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
                                    memory_space=pltpu.VMEM)
     npad = o_t.shape[1]
+    stream = blocked and g1.shape[0] > kc.STREAM_BLK_TRIS
+    g1_spec = (pl.BlockSpec(memory_space=pl.ANY) if stream else const(g1))
+    scratch_shapes = (
+        [pltpu.VMEM((kc.BLK_CHUNK, kc.BLK_COLS), jnp.float32),
+         pltpu.SemaphoreType.DMA]
+        if stream else []
+    )
     photon, casts = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[row(3), row(3), row(u_t.shape[0]),
-                  const(g1), const(g2), const(g3), const(sph), const(mat_t),
+                  g1_spec, const(g2), const(g3), const(sph), const(mat_t),
                   const(mat_T), const(lights)],
         out_specs=[row(3), row(1)],
         out_shape=[
             jax.ShapeDtypeStruct((3, npad), jnp.float32),
             jax.ShapeDtypeStruct((1, npad), jnp.int32),
         ],
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(o_t, d_t, u_t, g1, g2, g3, sph, mat_t, mat_T, lights)
 
