@@ -886,13 +886,22 @@ def _slab_rows(box, ox, oy, oz, inv_dx, inv_dy, inv_dz, tmax):
 STREAM_BLK_TRIS = 16384
 
 
+# The HBM copy of the table is padded 48 -> 128 columns so each chunk DMA
+# slices ONLY the major (sublane) dim and moves full 128-lane rows; Mosaic
+# rejects (compiler ICE) DMAs whose source slices a sub-lane-width window
+# of a (1,128)-tiled HBM memref.  25% extra HBM for the table — free at
+# the scales where streaming engages.
+BLK_COLS_PAD = 128
+
+
 class ChunkTable:
     """Blocked triangle table streamed chunk-wise from HBM.
 
-    Holds the HBM-resident [T_pad, BLK_COLS] table ref plus a
-    [BLK_CHUNK, BLK_COLS] VMEM scratch and a DMA semaphore; `load(ci)`
-    copies chunk ci in and returns the VMEM rows.  The copy is issued
-    inside the chunk's lax.cond, so gated-off chunks never touch HBM."""
+    Holds the HBM-resident [T_pad, BLK_COLS_PAD] table ref plus a
+    [BLK_CHUNK, BLK_COLS_PAD] VMEM scratch and a DMA semaphore; `load(ci)`
+    copies chunk ci in and returns the [BLK_CHUNK, BLK_COLS] VMEM view.
+    The copy is issued inside the chunk's lax.cond, so gated-off chunks
+    never touch HBM."""
 
     def __init__(self, tblk_hbm_ref, scratch_ref, sem):
         self.tblk_hbm_ref = tblk_hbm_ref
@@ -907,7 +916,7 @@ class ChunkTable:
         )
         cp.start()
         cp.wait()
-        return self.scratch_ref[:, :]
+        return self.scratch_ref[:, :BLK_COLS]
 
 
 def _chunk_rows(tblk_ref, ci):
@@ -916,6 +925,26 @@ def _chunk_rows(tblk_ref, ci):
     if isinstance(tblk_ref, ChunkTable):
         return tblk_ref.load(ci)
     return tblk_ref[pl.ds(ci * BLK_CHUNK, BLK_CHUNK), :]
+
+
+def stream_spec(g1, blocked: bool = True):
+    """(g1, in_spec, scratch_shapes) for the blocked triangle table.
+
+    Small tables are VMEM-resident; past STREAM_BLK_TRIS the table is
+    column-padded to BLK_COLS_PAD (full-lane DMA slices, see ChunkTable)
+    and pinned to HBM, with the chunk scratch + DMA semaphore the kernel
+    needs to stream it."""
+    stream = blocked and g1.shape[0] > STREAM_BLK_TRIS
+    if stream:
+        g1 = jnp.pad(g1, [(0, 0), (0, BLK_COLS_PAD - g1.shape[1])])
+        spec = pl.BlockSpec(memory_space=pltpu.HBM)
+        scratch = [pltpu.VMEM((BLK_CHUNK, BLK_COLS_PAD), jnp.float32),
+                   pltpu.SemaphoreType.DMA]
+    else:
+        spec = pl.BlockSpec(g1.shape, lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+        scratch = []
+    return g1, spec, scratch
 
 
 def _box_rows(boxes8_ref, ci):

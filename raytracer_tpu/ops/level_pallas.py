@@ -298,13 +298,7 @@ def process_level(scene: Scene, textures, pool_packed, last: bool,
     # Large blocked tables stay in HBM; the kernel DMAs one chunk at a
     # time into a VMEM scratch (kernel_common.ChunkTable) — only chunks
     # some lane's ray enters pay the copy.
-    stream = blocked and g1.shape[0] > kc.STREAM_BLK_TRIS
-    g1_spec = (pl.BlockSpec(memory_space=pl.ANY) if stream else const(g1))
-    scratch_shapes = (
-        [pltpu.VMEM((kc.BLK_CHUNK, kc.BLK_COLS), jnp.float32),
-         pltpu.SemaphoreType.DMA]
-        if stream else []
-    )
+    g1, g1_spec, scratch_shapes = kc.stream_spec(g1, blocked)
     npad = pp.shape[1]
     contrib, rch, fch, casts = pl.pallas_call(
         kernel,

@@ -244,15 +244,7 @@ def trace(scene: Scene, textures, ray_o, ray_d, unifs, depth: int,
     mat_T = mat_t.T
     lights = kc.pack_lights(scene)
 
-    stream = g1.shape[0] > kc.STREAM_BLK_TRIS
-    g1_spec = (pl.BlockSpec(memory_space=pl.ANY) if stream
-               else pl.BlockSpec(g1.shape, lambda i: (0, 0),
-                                 memory_space=pltpu.VMEM))
-    scratch_shapes = (
-        [pltpu.VMEM((kc.BLK_CHUNK, kc.BLK_COLS), jnp.float32),
-         pltpu.SemaphoreType.DMA]
-        if stream else []
-    )
+    g1, g1_spec, scratch_shapes = kc.stream_spec(g1)
     row = lambda r: pl.BlockSpec((r, tile), lambda i: (0, i),
                                  memory_space=pltpu.VMEM)
     const = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),

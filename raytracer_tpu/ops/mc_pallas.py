@@ -346,13 +346,7 @@ def trace(scene: Scene, textures, ray_o, ray_d, unifs, depth: int,
     const = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
                                    memory_space=pltpu.VMEM)
     npad = o_t.shape[1]
-    stream = blocked and g1.shape[0] > kc.STREAM_BLK_TRIS
-    g1_spec = (pl.BlockSpec(memory_space=pl.ANY) if stream else const(g1))
-    scratch_shapes = (
-        [pltpu.VMEM((kc.BLK_CHUNK, kc.BLK_COLS), jnp.float32),
-         pltpu.SemaphoreType.DMA]
-        if stream else []
-    )
+    g1, g1_spec, scratch_shapes = kc.stream_spec(g1, blocked)
     photon, casts = pl.pallas_call(
         kernel,
         grid=(grid,),
