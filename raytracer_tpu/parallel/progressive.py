@@ -73,6 +73,22 @@ def _epoch_step(scene: Scene, camera: Camera, clips_tiled, prev_img,
     return img, color_utils.linear_to_u8(img), counters
 
 
+@partial(jax.jit, static_argnums=(6, 7))
+def _epoch_step_packed(scene: Scene, camera: Camera, clips_tiled, prev_img,
+                       base_key, epoch, textures, cfg: RenderConfig, inv):
+    """_epoch_step with the epoch's ENTIRE host-bound output packed into a
+    single u8 vector: [H*W*3 u8 image || 8 bytes of bitcast counters].
+
+    The tunnel to a remote-attached chip serves one request at a time, so
+    each separate fetch costs a full ~28 ms round-trip on top of transfer
+    time; one packed fetch per epoch is the floor (measured: 700 ->
+    ~230 ms/epoch on the 1280x960 schedule, docs/PERF.md round 3)."""
+    img, u8, counters = _epoch_step(scene, camera, clips_tiled, prev_img,
+                                    base_key, epoch, textures, cfg, inv)
+    cn8 = jax.lax.bitcast_convert_type(counters, jnp.uint8).reshape(-1)
+    return img, jnp.concatenate([u8.reshape(-1), cn8])
+
+
 def save_checkpoint(path: str, state: ProgressiveState) -> None:
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
@@ -267,24 +283,30 @@ def render_progressive(
                 writer.submit(job)
                 continue
 
-            # Single-device: whole epoch (frame + accumulate + renorm + u8)
-            # in ONE dispatch.  EVERYTHING host-blocking — the counter
-            # fetch, the u8 transfer (the ~30 MB/s tunnel is the
-            # bottleneck), PNG encode, checkpoint, logging — runs on the
-            # writer thread so epoch e+1's device work overlaps epoch e's
-            # output; the depth-1 queue bounds the pipeline to two epochs
-            # in flight.
-            img, u8_dev, counters = _epoch_step(
+            # Single-device: whole epoch (frame + accumulate + renorm + u8
+            # + counters) in ONE dispatch whose host-bound output is ONE
+            # packed u8 vector.  The tunnel to a remote chip serves one
+            # request at a time, so the main thread does the single packed
+            # fetch (dispatch and transfer serialize on the tunnel anyway)
+            # while the writer thread handles everything CPU-bound — PNG
+            # encode, checkpoint fsync, logging — overlapping the next
+            # epoch's dispatch+fetch.  The depth-1 queue bounds the
+            # pipeline to two epochs in flight.
+            img, packed = _epoch_step_packed(
                 scene, camera, clips_tiled, state.img, base_key,
                 state.epoch, textures, cfg, inv,
             )
             state = ProgressiveState(img=img, epoch=state.epoch + 1,
                                      seed=state.seed)
-            snap = state
+            host = np.asarray(packed)  # the one per-epoch fetch
+            snap = (
+                ProgressiveState(img=np.asarray(img), epoch=state.epoch,
+                                 seed=state.seed)
+                if checkpoint_path else state
+            )
 
-            def job(u8_dev=u8_dev, counters=counters, snap=snap,
-                    t0=t0):
-                cn = np.asarray(counters)
+            def job(host=host, snap=snap, t0=t0):
+                cn = host[-8:].view(np.int32)
                 stats = {"casts": int(cn[0]), "filtered": int(cn[1]),
                          "primary_rays": n_pix}
                 dt = max(time.time() - t0, 1e-9)
@@ -293,7 +315,9 @@ def render_progressive(
                     f"{kept} rays in {dt * 1e3:.0f} ms "
                     f"({stats['casts'] / dt:,.0f} casts/s)"
                 )
-                write_png_atomic(out_path, np.asarray(u8_dev))
+                write_png_atomic(
+                    out_path, host[:-8].reshape(cfg.height, cfg.width, 3)
+                )
                 if checkpoint_path:
                     save_checkpoint(checkpoint_path, snap)
                 if on_epoch:
