@@ -276,6 +276,59 @@ def render_steps(
     }
 
 
+@partial(jax.jit, static_argnums=(4, 5, 6))
+def _epochs_frame(scene: Scene, camera: Camera, clips_tiled, key, textures,
+                  cfg: RenderConfig, n_epochs: int):
+    """n_epochs stochastic epochs accumulated in ONE dispatch.
+
+    This is the reference's actual progressive loop body
+    (/root/reference/src/main.rs:1129-1156): per epoch ONE distributed
+    (MC) frame whose photons add into the running image — the Whitted
+    pass runs once as a prologue OUTSIDE this loop (main.rs:1088-1115),
+    not per epoch.  Tone-normalization and PNG are post-processing
+    outside the reference's own rays/s stopwatch (main.rs:1167-1171) and
+    are likewise excluded here."""
+
+    def body(i, carry):
+        accum, counters = carry
+        photons, mc = _mc_frame(
+            scene, camera, clips_tiled, jax.random.fold_in(key, i), textures,
+            cfg,
+        )
+        return accum + photons, counters + mc
+
+    shape = clips_tiled.shape[:2] + (3,)
+    init = (jnp.zeros(shape, jnp.float32), jnp.zeros((2,), jnp.int32))
+    return jax.lax.fori_loop(0, n_epochs, body, init)
+
+
+def render_epochs(
+    scene: Scene, textures, camera: Camera, cfg: RenderConfig, key,
+    n_epochs: int,
+) -> Tuple[jnp.ndarray, dict]:
+    """n_epochs MC epochs accumulated in one dispatch (bench harness).
+
+    Epoch i uses fold_in(key, i); returns the accumulated photon image
+    [H, W, 3] plus counters summed over all epochs."""
+    n = cfg.width * cfg.height
+    clips_tiled, pad, inv = _tiled_clips(
+        cfg, block_order=scene.blk_perm is not None
+    )
+    accum, counters = _epochs_frame(
+        scene, camera, clips_tiled, key, textures, cfg, n_epochs
+    )
+    flat = accum.reshape(-1, 3)[:n]
+    if inv is not None:
+        flat = flat[inv]
+    c = np.asarray(counters)  # one fetch for both counters
+    return flat.reshape(cfg.height, cfg.width, 3), {
+        "casts": int(c[0]),
+        "filtered": int(c[1]),
+        "primary_rays": n * n_epochs,
+        "epochs": n_epochs,
+    }
+
+
 def render_distributed_epoch(
     scene: Scene, textures, camera: Camera, cfg: RenderConfig, key
 ) -> Tuple[jnp.ndarray, dict]:

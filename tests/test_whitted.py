@@ -115,3 +115,36 @@ def test_render_steps_batched_matches_per_step_calls():
     assert stats_b["dropped"] == dropped == 0
     assert stats_b["filtered"] == filtered
     assert stats_b["steps"] == n_steps
+
+
+def test_render_epochs_matches_per_epoch_calls():
+    """render_epochs (K MC epochs accumulated in one dispatch — the bench's
+    headline workload, the reference's progressive loop main.rs:1129-1156)
+    must equal the sum of K render_distributed_epoch calls with the same
+    per-epoch folded keys, with counters summed."""
+    import jax
+
+    from raytracer_tpu.render import render_distributed_epoch, render_epochs
+    from raytracer_tpu.scene.presets import demo_camera, demo_scene
+
+    scene, textures = demo_scene()
+    cfg = RenderConfig(width=16, height=12, depth=3, tile_rays=16 * 12)
+    key = jax.random.PRNGKey(9)
+    n_epochs = 3
+    accum, stats = render_epochs(
+        scene, textures, demo_camera(), cfg, key, n_epochs
+    )
+    total = np.zeros((cfg.height, cfg.width, 3), np.float32)
+    casts = filtered = 0
+    for i in range(n_epochs):
+        ph, st = render_distributed_epoch(
+            scene, textures, demo_camera(), cfg, jax.random.fold_in(key, i)
+        )
+        total += np.asarray(ph)
+        casts += st["casts"]
+        filtered += st["filtered"]
+    np.testing.assert_allclose(np.asarray(accum), total,
+                               rtol=2e-4, atol=1e-6)
+    assert stats["casts"] == casts
+    assert stats["filtered"] == filtered
+    assert stats["epochs"] == n_epochs
