@@ -164,8 +164,11 @@ def main() -> int:
         result["mesh11k_tris"] = int(m_scene.n_tri)
 
         # large-mesh MC epoch: the slow path VERDICT r2 weak #3 flagged —
-        # scattered bounce rays vs the chunk gates.  Recorded so it can
-        # never silently regress out of the bench.
+        # scattered bounce rays vs the chunk gates (the binned per-bounce
+        # path restores the gating; batching epochs was measured SLOWER
+        # than single dispatch here — the in-loop accumulate costs more
+        # than the amortized fetch saves).  Recorded so it can never
+        # silently regress out of the bench.
         from raytracer_tpu.render import render_distributed_epoch as rde
 
         ph, _ = rde(m_scene, m_tex, m_cam, m_cfg, key)
