@@ -11,6 +11,9 @@ from raytracer_tpu.config import NORTH_STAR_CONFIG, REFERENCE_CONFIG, RenderConf
 from raytracer_tpu.render import (
     clip_coords,
     render_distributed_epoch,
+    render_epochs,
+    render_step,
+    render_steps,
     render_whitted,
 )
 from raytracer_tpu.scene.builder import MaterialSpec, SceneBuilder, square, triangle
@@ -34,6 +37,9 @@ __all__ = [
     "demo_camera",
     "demo_scene",
     "render_distributed_epoch",
+    "render_epochs",
+    "render_step",
+    "render_steps",
     "render_whitted",
     "square",
     "triangle",
