@@ -67,3 +67,47 @@ def test_binned_matches_mega_kernel(mesh, depth):
     close = np.all(np.isclose(a, b, rtol=1e-4, atol=1e-5), axis=-1)
     assert close.mean() >= 0.995, f"only {close.mean():.4f} lanes agree"
     assert int(c_mega) == int(c_bin)
+
+
+def test_render_epochs_routes_blocked_scene_through_binned(mesh, monkeypatch):
+    """render_epochs (K MC epochs in one fori dispatch) over a blocked
+    scene must equal the sum of K render_distributed_epoch calls when the
+    scene routes through the binned per-bounce path — exercises the
+    between-bounce sort + slot un-permute INSIDE a fori_loop carry, which
+    the direct trace-level parity test above cannot.
+
+    Tolerance is per-pixel agreement (>= 99.5%), not allclose: XLA fuses
+    the fori-loop body differently from the standalone epoch program, so
+    last-ulp f32 differences can flip a roulette branch on rare lanes
+    (measured: the UNBINNED mega-kernel route flips ~1 pixel per 280 at
+    this size too, so this is dispatch-shape nondeterminism, not a
+    binned-path defect).  Flipped lanes walk different paths, so the cast
+    counters may differ by a few per flipped pixel."""
+    from raytracer_tpu.ops import distributed, mc_binned as mb
+    from raytracer_tpu.render import render_distributed_epoch, render_epochs
+
+    scene, textures, cam = mesh
+    assert scene.n_tri < mb.BINNED_MIN_TRIS  # small mesh: force the route
+    monkeypatch.setattr(mb, "BINNED_MIN_TRIS", 64)
+
+    cfg = RenderConfig(width=20, height=14, depth=2, tile_rays=20 * 14)
+    key = jax.random.PRNGKey(11)
+    intersect.set_pallas_mode("interpret")
+    try:
+        accum, stats = render_epochs(scene, textures, cam, cfg, key, 2)
+        total = np.zeros((cfg.height, cfg.width, 3), np.float32)
+        casts = 0
+        for i in range(2):
+            ph, st = render_distributed_epoch(
+                scene, textures, cam, cfg, jax.random.fold_in(key, i)
+            )
+            total += np.asarray(ph)
+            casts += st["casts"]
+    finally:
+        intersect.set_pallas_mode("auto")
+    a = np.asarray(accum)
+    close = np.all(np.isclose(a, total, rtol=2e-4, atol=1e-6), axis=-1)
+    n_bad = int((~close).sum())
+    assert close.mean() >= 0.995, f"only {close.mean():.4f} pixels agree"
+    assert abs(stats["casts"] - casts) <= 16 * max(1, n_bad) * 2, (
+        stats["casts"], casts, n_bad)
