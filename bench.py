@@ -36,6 +36,7 @@ def log(msg: str) -> None:
 
 def main() -> int:
     from raytracer_tpu.utils.cache import enable_compile_cache
+    from raytracer_tpu.utils.device import wait_for_device
 
     enable_compile_cache()
     import jax
@@ -47,7 +48,9 @@ def main() -> int:
     cfg = RenderConfig(width=1024, height=1024, depth=5, tile_rays=1 << 16)
     scene, textures = demo_scene()
     camera = demo_camera()
-    log(f"devices: {jax.devices()}")
+    # the remote TPU tunnel can be down for minutes; wait it out rather
+    # than losing the round's perf evidence to a transient outage
+    log(f"devices: {wait_for_device(max_wait_s=1200, log=log)}")
 
     # --- compile warmup (not timed) ---
     t0 = time.time()

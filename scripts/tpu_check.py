@@ -151,6 +151,12 @@ def main() -> int:
 
     import jax
 
+    from raytracer_tpu.utils.device import wait_for_device
+
+    # the remote TPU tunnel can drop out for minutes; wait it out so a
+    # transient outage doesn't fail the hardware check
+    wait_for_device(max_wait_s=1200)
+
     rc = 0
     # mesh thresholds are looser: the CPU golden for the blocked scene is
     # the XLA gather-BVH path while the chip runs the blocked kernels, and
