@@ -11,6 +11,7 @@ defaults, plus the knobs SURVEY.md §5.6 calls for.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from raytracer_tpu.config import RenderConfig
@@ -53,12 +54,57 @@ def build_parser() -> argparse.ArgumentParser:
                         "no PNG), then exit — bounds first-run latency on "
                         "machines where cold compiles go through a remote "
                         "compile service (minutes)")
+    p.add_argument("--retries", type=int, default=0, metavar="N",
+                   help="supervise the render: relaunch up to N times if "
+                        "it exits with a failure (e.g. a remote-device "
+                        "outage mid-schedule), resuming from --checkpoint "
+                        "(auto-derived from --out if not given).  A dead "
+                        "device backend cannot be revived in-process, so "
+                        "recovery = fresh process + epoch-granular resume")
     return p
 
 
-def main(argv=None) -> int:
-    import os
+def _supervise(argv: list[str], retries: int, checkpoint: str | None,
+               out: str) -> int:
+    """Relaunch the render subprocess on failure, resuming via checkpoint.
 
+    The progressive driver checkpoints every epoch (atomic npz) and writes
+    the PNG atomically, so a crash at ANY point — including a remote TPU
+    tunnel dropping mid-schedule — loses at most one epoch.  jax cannot
+    re-initialize a failed backend inside a live process reliably, so the
+    supervisor retries in a FRESH process; counter-based RNG keys make the
+    resumed epochs draw exactly the samples the dead run would have.
+    """
+    import subprocess
+    import time
+
+    child = [a for i, a in enumerate(argv)
+             if a != "--retries" and not a.startswith("--retries=")
+             and not (i > 0 and argv[i - 1] == "--retries")]
+    if checkpoint is None:
+        checkpoint = out + ".ckpt.npz"
+        child += ["--checkpoint", checkpoint]
+        print(f"supervisor: checkpointing to {checkpoint}")
+    env = dict(os.environ, RAYTPU_SUPERVISED="1")
+    delay = float(os.environ.get("RAYTPU_RETRY_DELAY", "30"))
+    rc = 1
+    for attempt in range(retries + 1):
+        if attempt:
+            print(f"supervisor: attempt {attempt} failed (rc={rc}); "
+                  f"relaunching in {delay:.0f}s")
+            time.sleep(delay)
+        rc = subprocess.call(
+            [sys.executable, "-m", "raytracer_tpu", *child], env=env
+        )
+        if rc == 0:
+            return 0
+        if rc == 2:  # argparse/usage error: retrying cannot help
+            return rc
+    print(f"supervisor: giving up after {retries + 1} attempts (rc={rc})")
+    return rc
+
+
+def main(argv=None) -> int:
     if os.environ.get("RAYTPU_FORCE_CPU"):
         # This container's sitecustomize preloads a TPU tunnel backend;
         # plain env vars are too late, jax.config is not.
@@ -70,6 +116,9 @@ def main(argv=None) -> int:
 
     enable_compile_cache()
     args = build_parser().parse_args(argv)
+    if args.retries > 0 and not os.environ.get("RAYTPU_SUPERVISED"):
+        raw = list(sys.argv[1:] if argv is None else argv)
+        return _supervise(raw, args.retries, args.checkpoint, args.out)
     if args.debug_nans:
         import jax
 
@@ -96,6 +145,25 @@ def main(argv=None) -> int:
         except TypeError:
             scene, textures = preset()
         camera = demo_camera()
+    log = print
+    tok = os.environ.get("RAYTPU_TEST_FAIL_TOKEN")
+    if tok:
+        # Failure-injection hook for the supervisor's end-to-end test: die
+        # like a dropped device tunnel on the SECOND throughput line (after
+        # the whitted pass checkpointed), once per token file.
+        seen = [0]
+
+        def log(msg, _p=print):
+            _p(msg, flush=True)
+            if "rays in" in msg:
+                seen[0] += 1
+                if seen[0] >= 2 and not os.path.exists(tok):
+                    open(tok, "w").close()
+                    raise RuntimeError(
+                        "UNAVAILABLE: injected transient failure "
+                        "(RAYTPU_TEST_FAIL_TOKEN)"
+                    )
+
     mesh = None
     if args.devices:
         from raytracer_tpu.parallel.mesh import make_render_mesh
@@ -129,14 +197,14 @@ def main(argv=None) -> int:
             render_progressive(
                 scene, textures, camera, cfg,
                 out_path=args.out, seed=args.seed,
-                checkpoint_path=args.checkpoint, mesh=mesh,
+                checkpoint_path=args.checkpoint, mesh=mesh, log=log,
             )
         print_profile(args.profile)
     else:
         render_progressive(
             scene, textures, camera, cfg,
             out_path=args.out, seed=args.seed, checkpoint_path=args.checkpoint,
-            mesh=mesh,
+            mesh=mesh, log=log,
         )
     return 0
 

@@ -139,6 +139,11 @@ class _AsyncWriter:
             job = self._q.get()
             if job is None:
                 return
+            if self._err:
+                continue  # poisoned: a failed epoch must not be followed
+                # by a later epoch's PNG/checkpoint (the error aborts the
+                # render; executing queued jobs past it could advance the
+                # checkpoint beyond the failure point)
             try:
                 job()
             except BaseException as e:  # surfaced on the main thread

@@ -51,6 +51,32 @@ def test_cli_epochs_and_checkpoint(tmp_path):
     assert "resumed at epoch 2" in r2.stdout
 
 
+def test_cli_retries_resumes_after_transient_failure(tmp_path):
+    """--retries: the supervisor relaunches a render whose process dies
+    mid-schedule (injected after the whitted pass checkpointed, like a
+    remote tunnel dropping) and the retry resumes from the checkpoint and
+    completes the schedule."""
+    out = str(tmp_path / "sup.png")
+    tok = str(tmp_path / "fail.token")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", RAYTPU_FORCE_CPU="1",
+               RAYTPU_TEST_FAIL_TOKEN=tok, RAYTPU_RETRY_DELAY="0")
+    r = subprocess.run(
+        [sys.executable, "-m", "raytracer_tpu", "--scene", "01-spheres",
+         "--width", "12", "--height", "8", "--depth", "1", "--epochs", "2",
+         "--out", out, "--tile-rays", "96", "--retries", "2"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    assert os.path.exists(tok)  # the injected failure actually fired
+    assert "supervisor: attempt 1 failed" in r.stdout
+    assert "resumed at epoch 0" in r.stdout
+    ckpt = out + ".ckpt.npz"  # auto-derived from --out
+    assert os.path.exists(ckpt)
+    assert int(np.load(ckpt)["epoch"]) == 2
+    img = read_png_rgb8(out)
+    assert img.shape == (8, 12, 3) and img.sum() > 0
+
+
 def test_cli_warm_cache(tmp_path):
     """--warm-cache compiles the config's programs and exits without
     touching the output path."""
