@@ -54,6 +54,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "no PNG), then exit — bounds first-run latency on "
                         "machines where cold compiles go through a remote "
                         "compile service (minutes)")
+    p.add_argument("--png-every", type=int, default=1, metavar="K",
+                   help="batch K stochastic epochs per device dispatch and "
+                        "write PNG/checkpoint once per group (K-fold fewer "
+                        "host round-trips; tone renormalization then runs "
+                        "per group instead of per epoch — photon sampling "
+                        "is unchanged).  1 = the reference's per-epoch "
+                        "schedule")
     p.add_argument("--retries", type=int, default=0, metavar="N",
                    help="supervise the render: relaunch up to N times if "
                         "it exits with a failure (e.g. a remote-device "
@@ -198,13 +205,14 @@ def main(argv=None) -> int:
                 scene, textures, camera, cfg,
                 out_path=args.out, seed=args.seed,
                 checkpoint_path=args.checkpoint, mesh=mesh, log=log,
+                png_every=args.png_every,
             )
         print_profile(args.profile)
     else:
         render_progressive(
             scene, textures, camera, cfg,
             out_path=args.out, seed=args.seed, checkpoint_path=args.checkpoint,
-            mesh=mesh, log=log,
+            mesh=mesh, log=log, png_every=args.png_every,
         )
     return 0
 

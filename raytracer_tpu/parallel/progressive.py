@@ -73,6 +73,44 @@ def _epoch_step(scene: Scene, camera: Camera, clips_tiled, prev_img,
     return img, color_utils.linear_to_u8(img), counters
 
 
+@partial(jax.jit, static_argnums=(6, 7, 9))
+def _epoch_group_packed(scene: Scene, camera: Camera, clips_tiled, prev_img,
+                        base_key, start_epoch, textures, cfg: RenderConfig,
+                        inv, k: int):
+    """`k` consecutive progressive epochs in ONE dispatch (--png-every).
+
+    Epoch `start_epoch + i` draws with fold_in(base_key, start_epoch + i)
+    — the SAME keys the per-epoch path uses, so the photons are identical;
+    only the percentile renormalization (main.rs:1163-1171, applied to the
+    accumulated buffer) runs once per group instead of once per epoch, so
+    the intermediate tone scale differs from the reference's per-epoch
+    schedule (documented trade-off of the batched mode; k=1 reduces to
+    _epoch_step_packed exactly).  Output is the packed
+    [H*W*3 u8 || 8-byte counters] vector — one fetch per group."""
+
+    def body(i, carry):
+        accum, counters = carry
+        photons, mc = _mc_frame(scene, camera, clips_tiled,
+                                jax.random.fold_in(base_key, i), textures,
+                                cfg)
+        return accum + photons, counters + mc
+
+    init = (jnp.zeros(clips_tiled.shape[:2] + (3,), jnp.float32),
+            jnp.zeros((2,), jnp.int32))
+    accum, counters = jax.lax.fori_loop(
+        start_epoch, start_epoch + k, body, init
+    )
+    n = cfg.width * cfg.height
+    flat = accum.reshape(-1, 3)[:n]
+    if inv is not None:
+        flat = flat[inv]
+    img = prev_img + flat.reshape(cfg.height, cfg.width, 3)
+    img = post_process(img, cfg.percentile)
+    u8 = color_utils.linear_to_u8(img)
+    cn8 = jax.lax.bitcast_convert_type(counters, jnp.uint8).reshape(-1)
+    return img, jnp.concatenate([u8.reshape(-1), cn8])
+
+
 @partial(jax.jit, static_argnums=(6, 7))
 def _epoch_step_packed(scene: Scene, camera: Camera, clips_tiled, prev_img,
                        base_key, epoch, textures, cfg: RenderConfig, inv):
@@ -172,6 +210,7 @@ def render_progressive(
     on_epoch: Optional[Callable[[int, dict], None]] = None,
     log: Callable[[str], None] = print,
     mesh=None,
+    png_every: int = 1,
 ) -> ProgressiveState:
     """Full reference schedule: Whitted pass + cfg.epochs stochastic epochs,
     progressive PNG after each, optional checkpoint each epoch.
@@ -179,6 +218,13 @@ def render_progressive(
     With a `mesh` (parallel/mesh.make_render_mesh), the whitted pass shards
     pixel tiles over the dp axis and each epoch gathers |sp| samples per
     pixel over ICI — the multi-chip analogue of the reference's rayon pool.
+
+    `png_every=k` (single-device path) batches k epochs into ONE dispatch
+    with one packed fetch + PNG + checkpoint per group — the per-dispatch
+    round-trip and per-epoch output amortize k-fold.  Photon draws are
+    key-identical to the per-epoch schedule; only the percentile
+    renormalization runs per group instead of per epoch (see
+    _epoch_group_packed).  Ignored with a mesh.
     """
     state = load_checkpoint(checkpoint_path) if checkpoint_path else None
 
@@ -297,23 +343,30 @@ def render_progressive(
             # encode, checkpoint fsync, logging — overlapping the next
             # epoch's dispatch+fetch.  The depth-1 queue bounds the
             # pipeline to two epochs in flight.
-            img, packed = _epoch_step_packed(
-                scene, camera, clips_tiled, state.img, base_key,
-                state.epoch, textures, cfg, inv,
-            )
-            state = ProgressiveState(img=img, epoch=state.epoch + 1,
+            k = max(1, min(png_every, cfg.epochs - state.epoch))
+            if k > 1:
+                img, packed = _epoch_group_packed(
+                    scene, camera, clips_tiled, state.img, base_key,
+                    state.epoch, textures, cfg, inv, k,
+                )
+            else:
+                img, packed = _epoch_step_packed(
+                    scene, camera, clips_tiled, state.img, base_key,
+                    state.epoch, textures, cfg, inv,
+                )
+            state = ProgressiveState(img=img, epoch=state.epoch + k,
                                      seed=state.seed)
-            host = np.asarray(packed)  # the one per-epoch fetch
+            host = np.asarray(packed)  # the one per-group fetch
             snap = (
                 ProgressiveState(img=np.asarray(img), epoch=state.epoch,
                                  seed=state.seed)
                 if checkpoint_path else state
             )
 
-            def job(host=host, snap=snap, t0=t0):
+            def job(host=host, snap=snap, t0=t0, k=k):
                 cn = host[-8:].view(np.int32)
                 stats = {"casts": int(cn[0]), "filtered": int(cn[1]),
-                         "primary_rays": n_pix}
+                         "primary_rays": n_pix * k}
                 dt = max(time.time() - t0, 1e-9)
                 kept = stats["primary_rays"] - stats["filtered"]
                 log(

@@ -118,3 +118,41 @@ def test_progressive_deterministic_same_seed(tmp_path):
                            out_path=str(tmp_path / "c.png"), seed=12,
                            log=lambda s: None)
     assert np.abs(np.asarray(a.img) - np.asarray(c.img)).max() > 0
+
+
+def test_png_every_groups_match_manual_schedule(tmp_path):
+    """--png-every k: photons are key-identical to the per-epoch path and
+    the group path equals a manual emulation (whitted + per-group photon
+    sums with per-group renormalization).  Also: epochs advance by k, the
+    final PNG exists, and a non-dividing k handles the tail group."""
+    import jax
+
+    from raytracer_tpu.ops.tonemap import post_process
+    from raytracer_tpu.render import render_distributed_epoch, render_whitted
+
+    scene, textures = spheres_scene()
+    cam = demo_camera()
+    cfg = RenderConfig(width=10, height=8, depth=1, epochs=5, tile_rays=80)
+    out = str(tmp_path / "grp.png")
+    logs = []
+    st = render_progressive(scene, textures, cam, cfg, out_path=out, seed=7,
+                            log=logs.append, png_every=2)
+    assert st.epoch == 5
+    assert read_png_rgb8(out).shape == (8, 10, 3)
+    # whitted line + one line per group (2+2+1)
+    assert len(logs) == 4 and all("rays in" in l for l in logs)
+
+    img, _ = render_whitted(scene, textures, cam, cfg)
+    img = np.asarray(post_process(img, cfg.percentile))
+    base = jax.random.PRNGKey(7)
+    for lo, hi in ((0, 2), (2, 4), (4, 5)):
+        tot = np.zeros_like(img)
+        for e in range(lo, hi):
+            ph, _ = render_distributed_epoch(
+                scene, textures, cam, cfg, jax.random.fold_in(base, e)
+            )
+            tot = tot + np.asarray(ph)
+        img = np.asarray(post_process(img + tot, cfg.percentile))
+    a, b = np.asarray(st.img), img
+    close = np.all(np.isclose(a, b, rtol=2e-4, atol=1e-6), axis=-1)
+    assert close.mean() >= 0.95, f"only {close.mean():.3f} pixels agree"
