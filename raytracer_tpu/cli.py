@@ -56,11 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "compile service (minutes)")
     p.add_argument("--png-every", type=int, default=1, metavar="K",
                    help="batch K stochastic epochs per device dispatch and "
-                        "write PNG/checkpoint once per group (K-fold fewer "
-                        "host round-trips; tone renormalization then runs "
-                        "per group instead of per epoch — photon sampling "
-                        "is unchanged).  1 = the reference's per-epoch "
-                        "schedule")
+                        "write PNG/checkpoint once per group — identical "
+                        "image (same draws, same per-epoch renorm), K-fold "
+                        "fewer host round-trips.  1 = the reference's "
+                        "write-after-every-epoch cadence")
     p.add_argument("--retries", type=int, default=0, metavar="N",
                    help="supervise the render: relaunch up to N times if "
                         "it exits with a failure (e.g. a remote-device "

@@ -79,33 +79,52 @@ def _epoch_group_packed(scene: Scene, camera: Camera, clips_tiled, prev_img,
                         inv, k: int):
     """`k` consecutive progressive epochs in ONE dispatch (--png-every).
 
-    Epoch `start_epoch + i` draws with fold_in(base_key, start_epoch + i)
-    — the SAME keys the per-epoch path uses, so the photons are identical;
-    only the percentile renormalization (main.rs:1163-1171, applied to the
-    accumulated buffer) runs once per group instead of once per epoch, so
-    the intermediate tone scale differs from the reference's per-epoch
-    schedule (documented trade-off of the batched mode; k=1 reduces to
-    _epoch_step_packed exactly).  Output is the packed
-    [H*W*3 u8 || 8-byte counters] vector — one fetch per group."""
+    Semantics are IDENTICAL to k calls of _epoch_step_packed: epoch
+    `start_epoch + i` draws with fold_in(base_key, start_epoch + i) and
+    the percentile renormalization (main.rs:1163-1171) runs per epoch
+    inside the loop carry.  The accumulator is carried in the kernels'
+    TILED lane order (pad lanes pinned to zero, which is_normal excludes
+    from the percentile statistic exactly like the unpadded image path;
+    the statistic and the elementwise scale are permutation-invariant) so
+    the per-epoch image-order gather is deferred to one gather per group.
+    Output is the packed [H*W*3 u8 || 8-byte counters] vector — one fetch,
+    one PNG, one checkpoint per group instead of per epoch."""
+    n = cfg.width * cfg.height
+    shape = clips_tiled.shape[:2] + (3,)
+    npad = shape[0] * shape[1]
+    flat_prev = prev_img.reshape(-1, 3)
+    if inv is not None:
+        # image order -> tiled order: tiled[inv[j]] = image[j]
+        acc0 = jnp.zeros((npad, 3), jnp.float32).at[inv].set(flat_prev)
+    elif npad > n:
+        acc0 = jnp.concatenate(
+            [flat_prev, jnp.zeros((npad - n, 3), jnp.float32)]
+        )
+    else:
+        acc0 = flat_prev
+    live = (jnp.arange(npad) < n)[:, None] if npad > n else None
 
     def body(i, carry):
         accum, counters = carry
         photons, mc = _mc_frame(scene, camera, clips_tiled,
                                 jax.random.fold_in(base_key, i), textures,
                                 cfg)
-        return accum + photons, counters + mc
+        ph = photons.reshape(npad, 3)
+        if live is not None:
+            # pad lanes trace real center rays; keep them out of the
+            # accumulator and the percentile statistic
+            ph = jnp.where(live, ph, 0.0)
+        accum = post_process(accum + ph, cfg.percentile)
+        return accum, counters + mc
 
-    init = (jnp.zeros(clips_tiled.shape[:2] + (3,), jnp.float32),
-            jnp.zeros((2,), jnp.int32))
+    init = (acc0, jnp.zeros((2,), jnp.int32))  # flat [npad, 3] carry
     accum, counters = jax.lax.fori_loop(
         start_epoch, start_epoch + k, body, init
     )
-    n = cfg.width * cfg.height
     flat = accum.reshape(-1, 3)[:n]
     if inv is not None:
         flat = flat[inv]
-    img = prev_img + flat.reshape(cfg.height, cfg.width, 3)
-    img = post_process(img, cfg.percentile)
+    img = flat.reshape(cfg.height, cfg.width, 3)
     u8 = color_utils.linear_to_u8(img)
     cn8 = jax.lax.bitcast_convert_type(counters, jnp.uint8).reshape(-1)
     return img, jnp.concatenate([u8.reshape(-1), cn8])
@@ -221,12 +240,15 @@ def render_progressive(
 
     `png_every=k` (single-device path) batches k epochs into ONE dispatch
     with one packed fetch + PNG + checkpoint per group — the per-dispatch
-    round-trip and per-epoch output amortize k-fold.  Photon draws are
-    key-identical to the per-epoch schedule; only the percentile
-    renormalization runs per group instead of per epoch (see
-    _epoch_group_packed).  Ignored with a mesh.
+    round-trip and per-epoch output amortize k-fold, with the SAME image
+    as the per-epoch schedule (identical draws, per-epoch renormalization
+    inside the loop carry; see _epoch_group_packed).  Ignored with a mesh.
     """
     state = load_checkpoint(checkpoint_path) if checkpoint_path else None
+
+    if mesh is not None and png_every > 1:
+        log("png-every > 1 is ignored with a mesh (sharded path is "
+            "per-epoch)")
 
     if mesh is not None:
         from raytracer_tpu.parallel.mesh import render_whitted_sharded

@@ -120,16 +120,12 @@ def test_progressive_deterministic_same_seed(tmp_path):
     assert np.abs(np.asarray(a.img) - np.asarray(c.img)).max() > 0
 
 
-def test_png_every_groups_match_manual_schedule(tmp_path):
-    """--png-every k: photons are key-identical to the per-epoch path and
-    the group path equals a manual emulation (whitted + per-group photon
-    sums with per-group renormalization).  Also: epochs advance by k, the
-    final PNG exists, and a non-dividing k handles the tail group."""
-    import jax
-
-    from raytracer_tpu.ops.tonemap import post_process
-    from raytracer_tpu.render import render_distributed_epoch, render_whitted
-
+def test_png_every_groups_match_per_epoch_schedule(tmp_path):
+    """--png-every k produces the SAME image as the per-epoch schedule:
+    identical photon draws AND per-epoch renormalization inside the group
+    loop carry — only the fetch/PNG/checkpoint cadence changes.  Also:
+    epochs advance by k, the final PNG exists, and a non-dividing k
+    handles the tail group."""
     scene, textures = spheres_scene()
     cam = demo_camera()
     cfg = RenderConfig(width=10, height=8, depth=1, epochs=5, tile_rays=80)
@@ -142,17 +138,12 @@ def test_png_every_groups_match_manual_schedule(tmp_path):
     # whitted line + one line per group (2+2+1)
     assert len(logs) == 4 and all("rays in" in l for l in logs)
 
-    img, _ = render_whitted(scene, textures, cam, cfg)
-    img = np.asarray(post_process(img, cfg.percentile))
-    base = jax.random.PRNGKey(7)
-    for lo, hi in ((0, 2), (2, 4), (4, 5)):
-        tot = np.zeros_like(img)
-        for e in range(lo, hi):
-            ph, _ = render_distributed_epoch(
-                scene, textures, cam, cfg, jax.random.fold_in(base, e)
-            )
-            tot = tot + np.asarray(ph)
-        img = np.asarray(post_process(img + tot, cfg.percentile))
-    a, b = np.asarray(st.img), img
+    ref = render_progressive(scene, textures, cam, cfg,
+                             out_path=str(tmp_path / "ref.png"), seed=7,
+                             log=lambda m: None)
+    a, b = np.asarray(st.img), np.asarray(ref.img)
+    # tolerance, not equality: XLA fuses the fori-loop body differently
+    # from the standalone epoch program, which can flip a rare roulette
+    # branch on isolated lanes (same caveat as tests/test_mc_binned.py)
     close = np.all(np.isclose(a, b, rtol=2e-4, atol=1e-6), axis=-1)
     assert close.mean() >= 0.95, f"only {close.mean():.3f} pixels agree"
