@@ -208,3 +208,40 @@ def train_step_sharded(scene: Scene, camera: Camera, accum, clips, key,
     # under jit inserts the cross-device collectives automatically.
     accum = post_process(accum, cfg.percentile)
     return accum, color_utils.linear_to_u8(accum), jnp.stack([casts, filtered])
+
+
+@partial(jax.jit, static_argnums=(5, 6, 7, 8), donate_argnums=(2,))
+def train_steps_sharded(scene: Scene, camera: Camera, accum, clips,
+                        base_key, textures, cfg: RenderConfig, mesh: Mesh,
+                        k: int, start_epoch=0):
+    """`k` consecutive sharded train steps in ONE dispatch (the mesh
+    analogue of the single-device --png-every group).
+
+    Epoch `start_epoch + i` uses fold_in(base_key, start_epoch + i) — the
+    SAME per-epoch key the one-step driver computes on the host — and the
+    global percentile renormalization runs per epoch inside the loop
+    carry, so the result equals k calls of train_step_sharded while the
+    dispatch round-trip and the u8 fetch amortize k-fold.  Returns
+    (accum', u8-of-final, counters[2] summed over the group)."""
+    from raytracer_tpu.utils import color as color_utils
+
+    n_pix = cfg.width * cfg.height
+    npad = clips.shape[0]
+    live = (jnp.arange(npad) < n_pix)[:, None] if npad > n_pix else None
+
+    def body(i, carry):
+        accum, counters = carry
+        ekey = jax.random.fold_in(base_key, i)
+        photons, casts, filtered = _mc_epoch_sharded.__wrapped__(
+            scene, camera, clips, ekey, textures, cfg, mesh
+        )
+        if live is not None:
+            photons = jnp.where(live, photons, 0.0)
+        accum = post_process(accum + photons, cfg.percentile)
+        return accum, counters + jnp.stack([casts, filtered])
+
+    accum, counters = jax.lax.fori_loop(
+        start_epoch, start_epoch + k, body,
+        (accum, jnp.zeros((2,), jnp.int32)),
+    )
+    return accum, color_utils.linear_to_u8(accum), counters

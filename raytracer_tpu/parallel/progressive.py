@@ -242,13 +242,10 @@ def render_progressive(
     with one packed fetch + PNG + checkpoint per group — the per-dispatch
     round-trip and per-epoch output amortize k-fold, with the SAME image
     as the per-epoch schedule (identical draws, per-epoch renormalization
-    inside the loop carry; see _epoch_group_packed).  Ignored with a mesh.
+    inside the loop carry; see _epoch_group_packed).  With a mesh the
+    group runs through train_steps_sharded (same equivalence).
     """
     state = load_checkpoint(checkpoint_path) if checkpoint_path else None
-
-    if mesh is not None and png_every > 1:
-        log("png-every > 1 is ignored with a mesh (sharded path is "
-            "per-epoch)")
 
     if mesh is not None:
         from raytracer_tpu.parallel.mesh import render_whitted_sharded
@@ -313,12 +310,23 @@ def render_progressive(
                 # linear buffer must not be read by the writer thread —
                 # only the (separate) u8 output rides to the writer.  The
                 # checkpoint fetch below is synchronous for the same reason.
-                ekey = jax.random.fold_in(base_key, state.epoch)
-                accum, u8_dev, counters = train_step_sharded(
-                    scene, camera, accum, clips_dev, ekey, textures, cfg,
-                    mesh,
-                )
-                state = ProgressiveState(img=None, epoch=state.epoch + 1,
+                k = max(1, min(png_every, cfg.epochs - state.epoch))
+                if k > 1:
+                    from raytracer_tpu.parallel.mesh import (
+                        train_steps_sharded,
+                    )
+
+                    accum, u8_dev, counters = train_steps_sharded(
+                        scene, camera, accum, clips_dev, base_key, textures,
+                        cfg, mesh, k, state.epoch,
+                    )
+                else:
+                    ekey = jax.random.fold_in(base_key, state.epoch)
+                    accum, u8_dev, counters = train_step_sharded(
+                        scene, camera, accum, clips_dev, ekey, textures,
+                        cfg, mesh,
+                    )
+                state = ProgressiveState(img=None, epoch=state.epoch + k,
                                          seed=state.seed)
                 snap_img = None
                 if checkpoint_path:
@@ -330,13 +338,14 @@ def render_progressive(
                 snap = ProgressiveState(img=snap_img, epoch=state.epoch,
                                         seed=state.seed)
 
-                def job(u8_dev=u8_dev, counters=counters, snap=snap, t0=t0):
+                def job(u8_dev=u8_dev, counters=counters, snap=snap, t0=t0,
+                        k=k):
                     cn = np.asarray(counters)
                     stats = {
                         "casts": int(cn[0]),
                         "filtered": int(cn[1]),
                         "samples_per_pixel": mesh.shape["sp"],
-                        "primary_rays": n_pix * mesh.shape["sp"],
+                        "primary_rays": n_pix * mesh.shape["sp"] * k,
                     }
                     dt = max(time.time() - t0, 1e-9)
                     kept = stats["primary_rays"] - stats["filtered"]

@@ -147,3 +147,31 @@ def test_png_every_groups_match_per_epoch_schedule(tmp_path):
     # branch on isolated lanes (same caveat as tests/test_mc_binned.py)
     close = np.all(np.isclose(a, b, rtol=2e-4, atol=1e-6), axis=-1)
     assert close.mean() >= 0.95, f"only {close.mean():.3f} pixels agree"
+
+
+def test_png_every_with_mesh_matches_per_epoch(tmp_path):
+    """png_every on the sharded path: train_steps_sharded (k epochs in one
+    dispatch, per-epoch renorm in the carry) equals the per-epoch sharded
+    driver — same keys, same image, fewer dispatches."""
+    from raytracer_tpu.parallel.mesh import make_render_mesh
+
+    scene, textures = spheres_scene()
+    cfg = RenderConfig(width=16, height=8, depth=2, epochs=3, tile_rays=128)
+    mesh = make_render_mesh(8)
+    logs = []
+    a = render_progressive(
+        scene, textures, demo_camera(), cfg,
+        out_path=str(tmp_path / "a.png"), seed=5, log=logs.append,
+        mesh=mesh, png_every=2,
+    )
+    b = render_progressive(
+        scene, textures, demo_camera(), cfg,
+        out_path=str(tmp_path / "b.png"), seed=5, log=lambda m: None,
+        mesh=mesh,
+    )
+    assert a.epoch == b.epoch == 3
+    # whitted line + 2 group lines (k=2 then tail k=1)
+    assert len(logs) == 3
+    x, y = np.asarray(a.img), np.asarray(b.img)
+    close = np.all(np.isclose(x, y, rtol=2e-4, atol=1e-6), axis=-1)
+    assert close.mean() >= 0.95, f"only {close.mean():.3f} pixels agree"
