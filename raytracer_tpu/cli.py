@@ -189,9 +189,13 @@ def main(argv=None) -> int:
 
         tmp = _os.path.join(tempfile.gettempdir(), "raytpu_warm.png")
         t0 = time.time()
+        # epochs = one full group so a --png-every run warms the k-epoch
+        # group program, not just the single-epoch one
         render_progressive(
-            scene, textures, camera, dataclasses.replace(cfg, epochs=1),
+            scene, textures, camera,
+            dataclasses.replace(cfg, epochs=max(1, args.png_every)),
             out_path=tmp, seed=args.seed, mesh=mesh, log=lambda m: None,
+            png_every=args.png_every,
         )
         print(f"warm-cache: programs compiled+cached in "
               f"{time.time() - t0:.1f}s")
