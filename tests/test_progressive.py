@@ -175,3 +175,27 @@ def test_png_every_with_mesh_matches_per_epoch(tmp_path):
     x, y = np.asarray(a.img), np.asarray(b.img)
     close = np.all(np.isclose(x, y, rtol=2e-4, atol=1e-6), axis=-1)
     assert close.mean() >= 0.95, f"only {close.mean():.3f} pixels agree"
+
+
+def test_png_every_blocked_scene_tile_order(tmp_path):
+    """Blocked scenes tile their clips in 32x16 block order, so the group
+    path's carried accumulator is PERMUTED relative to image order — this
+    pins the image->tiled scatter / tiled->image gather round-trip
+    (`inv is not None` branch of _epoch_group_packed), which the dense
+    spheres/demo tests never touch."""
+    from raytracer_tpu.scene.presets import mesh_scene
+
+    scene, textures, cam = mesh_scene(grid=4)
+    assert scene.blk_perm is not None  # the point of this test
+    cfg = RenderConfig(width=64, height=32, depth=2, epochs=3,
+                       tile_rays=1024)
+    a = render_progressive(scene, textures, cam, cfg,
+                           out_path=str(tmp_path / "a.png"), seed=9,
+                           log=lambda m: None, png_every=2)
+    b = render_progressive(scene, textures, cam, cfg,
+                           out_path=str(tmp_path / "b.png"), seed=9,
+                           log=lambda m: None)
+    assert a.epoch == b.epoch == 3
+    x, y = np.asarray(a.img), np.asarray(b.img)
+    close = np.all(np.isclose(x, y, rtol=2e-4, atol=1e-6), axis=-1)
+    assert close.mean() >= 0.95, f"only {close.mean():.3f} pixels agree"
