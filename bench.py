@@ -213,6 +213,24 @@ def main() -> int:
         result["full_schedule_seconds"] = round(sched_dt, 2)
         result["full_schedule_epochs"] = sched_cfg.epochs
 
+        # batched-group schedule (--png-every 10): same 100 epochs and
+        # photon draws, PNG/checkpoint once per 10-epoch group — the
+        # framework's amortized progressive workflow vs the reference's
+        # per-epoch output loop.
+        import dataclasses
+
+        warm_cfg = dataclasses.replace(sched_cfg, epochs=10)
+        render_progressive(scene, textures, camera, warm_cfg,
+                           out_path=out_png, seed=0, log=lambda m: None,
+                           png_every=10)  # compile the k=10 group program
+        t0 = time.time()
+        render_progressive(scene, textures, camera, sched_cfg,
+                           out_path=out_png, seed=0, log=lambda m: None,
+                           png_every=10)
+        png10_dt = time.time() - t0
+        log(f"batched schedule (PNG every 10): {png10_dt:.1f}s")
+        result["full_schedule_png10_seconds"] = round(png10_dt, 2)
+
     print(json.dumps(result))
     return 0
 

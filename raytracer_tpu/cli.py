@@ -74,12 +74,16 @@ def _supervise(argv: list[str], retries: int, checkpoint: str | None,
                out: str) -> int:
     """Relaunch the render subprocess on failure, resuming via checkpoint.
 
-    The progressive driver checkpoints every epoch (atomic npz) and writes
-    the PNG atomically, so a crash at ANY point — including a remote TPU
-    tunnel dropping mid-schedule — loses at most one epoch.  jax cannot
-    re-initialize a failed backend inside a live process reliably, so the
-    supervisor retries in a FRESH process; counter-based RNG keys make the
-    resumed epochs draw exactly the samples the dead run would have.
+    The progressive driver checkpoints each PNG write (atomic npz), so a
+    crash at ANY point — including a remote TPU tunnel dropping
+    mid-schedule — loses at most one output group (one epoch at the
+    default --png-every 1).  jax cannot re-initialize a failed backend
+    inside a live process reliably, so the supervisor retries in a FRESH
+    process; counter-based RNG keys make the resumed epochs draw exactly
+    the samples the dead run would have.  Two consecutive failures with
+    zero checkpoint progress abort early: a failure that reproduces from
+    the same state is deterministic (bad input, real bug), not a
+    transient outage worth more 30 s relaunch delays.
     """
     import subprocess
     import time
@@ -87,24 +91,51 @@ def _supervise(argv: list[str], retries: int, checkpoint: str | None,
     child = [a for i, a in enumerate(argv)
              if a != "--retries" and not a.startswith("--retries=")
              and not (i > 0 and argv[i - 1] == "--retries")]
-    if checkpoint is None:
+    auto_ckpt = checkpoint is None
+    if auto_ckpt:
         checkpoint = out + ".ckpt.npz"
         child += ["--checkpoint", checkpoint]
         print(f"supervisor: checkpointing to {checkpoint}")
+        if os.path.exists(checkpoint):
+            # a previous supervised run died and left progress: resume it
+            print(f"supervisor: resuming from leftover {checkpoint}")
+
+    def ckpt_epoch() -> int:
+        try:
+            import numpy as np
+
+            return int(np.load(checkpoint)["epoch"])
+        except Exception:
+            return -1
+
     env = dict(os.environ, RAYTPU_SUPERVISED="1")
     delay = float(os.environ.get("RAYTPU_RETRY_DELAY", "30"))
-    rc = 1
+    rc, no_progress = 1, 0
     for attempt in range(retries + 1):
         if attempt:
             print(f"supervisor: attempt {attempt} failed (rc={rc}); "
                   f"relaunching in {delay:.0f}s")
             time.sleep(delay)
+        before = ckpt_epoch()
         rc = subprocess.call(
             [sys.executable, "-m", "raytracer_tpu", *child], env=env
         )
         if rc == 0:
+            if auto_ckpt:
+                # the checkpoint only existed to make retries resumable;
+                # leaving it would make a RERUN of the same command load
+                # it, skip every epoch, and ignore a changed --seed
+                try:
+                    os.remove(checkpoint)
+                except OSError:
+                    pass
             return 0
         if rc == 2:  # argparse/usage error: retrying cannot help
+            return rc
+        no_progress = no_progress + 1 if ckpt_epoch() <= before else 0
+        if no_progress >= 2:
+            print("supervisor: two failures with no checkpoint progress — "
+                  "deterministic error, giving up")
             return rc
     print(f"supervisor: giving up after {retries + 1} attempts (rc={rc})")
     return rc
@@ -189,14 +220,20 @@ def main(argv=None) -> int:
 
         tmp = _os.path.join(tempfile.gettempdir(), "raytpu_warm.png")
         t0 = time.time()
-        # epochs = one full group so a --png-every run warms the k-epoch
-        # group program, not just the single-epoch one
-        render_progressive(
-            scene, textures, camera,
-            dataclasses.replace(cfg, epochs=max(1, args.png_every)),
-            out_path=tmp, seed=args.seed, mesh=mesh, log=lambda m: None,
-            png_every=args.png_every,
-        )
+        # Warm every group size the real run will dispatch: the main
+        # k=png_every group AND the tail group when epochs % png_every != 0
+        # (k is a static jit arg, so each distinct k is its own program —
+        # an unwarmed tail would compile cold mid-schedule).
+        ks = {max(1, min(args.png_every, cfg.epochs or 1))}
+        if 1 < args.png_every < cfg.epochs and cfg.epochs % args.png_every:
+            ks.add(cfg.epochs % args.png_every)
+        for kk in sorted(ks):
+            render_progressive(
+                scene, textures, camera,
+                dataclasses.replace(cfg, epochs=kk),
+                out_path=tmp, seed=args.seed, mesh=mesh, log=lambda m: None,
+                png_every=kk,
+            )
         print(f"warm-cache: programs compiled+cached in "
               f"{time.time() - t0:.1f}s")
         return 0

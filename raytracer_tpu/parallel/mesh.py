@@ -238,10 +238,13 @@ def train_steps_sharded(scene: Scene, camera: Camera, accum, clips,
         if live is not None:
             photons = jnp.where(live, photons, 0.0)
         accum = post_process(accum + photons, cfg.percentile)
-        return accum, counters + jnp.stack([casts, filtered])
+        # stats carry in f32: a large group on a large frame can sum past
+        # int32 (logging counters only — f32 rounds instead of wrapping)
+        cn = jnp.stack([casts, filtered]).astype(jnp.float32)
+        return accum, counters + cn
 
     accum, counters = jax.lax.fori_loop(
         start_epoch, start_epoch + k, body,
-        (accum, jnp.zeros((2,), jnp.int32)),
+        (accum, jnp.zeros((2,), jnp.float32)),
     )
     return accum, color_utils.linear_to_u8(accum), counters

@@ -115,9 +115,12 @@ def _epoch_group_packed(scene: Scene, camera: Camera, clips_tiled, prev_img,
             # accumulator and the percentile statistic
             ph = jnp.where(live, ph, 0.0)
         accum = post_process(accum + ph, cfg.percentile)
-        return accum, counters + mc
+        # stats carry in f32: a large group on a large frame can sum past
+        # int32 (e.g. 100 epochs x ~30M casts); f32 is exact below 2^24
+        # per add and merely rounds above — these are logging counters
+        return accum, counters + mc.astype(jnp.float32)
 
-    init = (acc0, jnp.zeros((2,), jnp.int32))  # flat [npad, 3] carry
+    init = (acc0, jnp.zeros((2,), jnp.float32))  # flat [npad, 3] carry
     accum, counters = jax.lax.fori_loop(
         start_epoch, start_epoch + k, body, init
     )
@@ -395,7 +398,9 @@ def render_progressive(
             )
 
             def job(host=host, snap=snap, t0=t0, k=k):
-                cn = host[-8:].view(np.int32)
+                # group dispatches carry stats in f32 (overflow-safe),
+                # single-epoch ones in exact int32
+                cn = host[-8:].view(np.float32 if k > 1 else np.int32)
                 stats = {"casts": int(cn[0]), "filtered": int(cn[1]),
                          "primary_rays": n_pix * k}
                 dt = max(time.time() - t0, 1e-9)

@@ -70,9 +70,9 @@ def test_cli_retries_resumes_after_transient_failure(tmp_path):
     assert os.path.exists(tok)  # the injected failure actually fired
     assert "supervisor: attempt 1 failed" in r.stdout
     assert "resumed at epoch 0" in r.stdout
-    ckpt = out + ".ckpt.npz"  # auto-derived from --out
-    assert os.path.exists(ckpt)
-    assert int(np.load(ckpt)["epoch"]) == 2
+    # the auto-derived checkpoint is cleaned up on success, so rerunning
+    # the same command renders afresh instead of resuming at epoch==epochs
+    assert not os.path.exists(out + ".ckpt.npz")
     img = read_png_rgb8(out)
     assert img.shape == (8, 12, 3) and img.sum() > 0
 

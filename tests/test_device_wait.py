@@ -11,9 +11,21 @@ def test_returns_devices_immediately_when_up():
     assert wait_for_device(max_wait_s=5) == jax.devices()
 
 
+def _stub_clear_backends(monkeypatch):
+    # wait_for_device clears jax's memoized backend state between attempts;
+    # doing that FOR REAL here would invalidate device arrays cached by
+    # other tests in this worker process (e.g. render._CLIPS_CACHE), an
+    # ordering-dependent flake — the clearing itself is exercised live by
+    # the supervisor/bench on the real tunnel, not simulated here
+    from jax._src import xla_bridge as xb
+
+    monkeypatch.setattr(xb, "_clear_backends", lambda: None)
+
+
 def test_retries_until_backend_succeeds(monkeypatch):
     import jax
 
+    _stub_clear_backends(monkeypatch)
     real = jax.devices()
     calls = {"n": 0}
 
@@ -32,6 +44,8 @@ def test_retries_until_backend_succeeds(monkeypatch):
 
 def test_raises_after_deadline(monkeypatch):
     import jax
+
+    _stub_clear_backends(monkeypatch)
 
     def down():
         raise RuntimeError("UNAVAILABLE")
