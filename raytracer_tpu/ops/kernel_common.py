@@ -506,6 +506,13 @@ class _ShadowSweep:
             out = out | jnp.any(ok, axis=0, keepdims=True).astype(jnp.int32)
         return out != 0
 
+    def blocked_multi(self, rays):
+        """Per-light delegation: the dense table lives in VMEM and the
+        origin terms are already hoisted into __init__, so there is
+        nothing left to share across lights here."""
+        return [self.blocked(dx, dy, dz, limit, act)
+                for dx, dy, dz, limit, act in rays]
+
 
 def get_shade(mat_sample, lights, px, py, pz, nax, nay, naz, vdx, vdy, vdz,
               active, sweep, n_light: int):
@@ -515,7 +522,8 @@ def get_shade(mat_sample, lights, px, py, pz, nax, nay, naz, vdx, vdy, vdz,
     (nax,nay,naz): ADJUSTED shading normal; (vdx,vdy,vdz): view = -ray_d;
     sweep: a shadow-sweep strategy (`_ShadowSweep` for the dense table,
     `_BlockedShadowSweep` for the chunk-gated large-mesh layout) exposing
-    `blocked(dx, dy, dz, limit, active)`.  Returns (r, g, b, shadow_count)
+    `blocked_multi([(dx, dy, dz, limit, active), ...])` — all lights'
+    occlusion bits from one pass.  Returns (r, g, b, shadow_count)
     with shadow_count the per-lane number of shadow rays cast (for the
     honest cast counters).
     """
@@ -528,6 +536,10 @@ def get_shade(mat_sample, lights, px, py, pz, nax, nay, naz, vdx, vdy, vdz,
     e = 1.0 / (m["smoothness"] + F32_EPS)
     energy = (e + 8.0) / np.float32(8.0 * np.pi)
 
+    # Pass 1: per-light shadow-ray parameters.  All L rays share their
+    # origin, so the sweep strategy can test every light in one pass over
+    # the geometry (blocked_multi — one chunk-table stream instead of L).
+    params = []
     for li in range(n_light):
         # [1,1] slices broadcast against the [1,R] lane rows
         lrow = lambda c: lights[li : li + 1, c : c + 1]
@@ -563,10 +575,20 @@ def get_shade(mat_sample, lights, px, py, pz, nax, nay, naz, vdx, vdy, vdz,
         cosine = -(ldx * nax + ldy * nay + ldz * naz)
         consider = active & lvalid & (cosine > 0.0)
         limit = jnp.where(HAS_O > 0.5, mag, _BIG)
+        params.append((ldx, ldy, ldz, limit, consider, cosine,
+                       (LCR, LCG, LCB), att))
 
-        blocked = sweep.blocked(-ldx, -ldy, -ldz, limit, consider)
+    blocked_l = sweep.blocked_multi(
+        [(-ldx, -ldy, -ldz, limit, consider)
+         for ldx, ldy, ldz, limit, consider, _, _, _ in params]
+    )
+
+    # Pass 2: accumulate per-light radiance from the occlusion bits.
+    for li in range(n_light):
+        ldx, ldy, ldz, limit, consider, cosine, lc, att = params[li]
+        LCR, LCG, LCB = lc
         count = count + consider.astype(jnp.int32)
-        lit = consider & ~blocked
+        lit = consider & ~blocked_l[li]
 
         # get_diffuse (materials.rs:46-53): light_dir toward the light
         lam = cosine  # dot(-ldir, n) == cosine
@@ -1167,71 +1189,114 @@ class _BlockedShadowSweep:
             prim = n_tri + jax.lax.broadcasted_iota(jnp.int32, self.wx.shape, 0)
             self.not_self_sph = not_self_excl != prim
 
-    def blocked(self, dx, dy, dz, limit, active):
+    def blocked_multi(self, rays):
+        """All lights' shadow sweeps in ONE pass over the chunk tables.
+
+        `rays` is a list of (dx, dy, dz, limit, active) per light.  The
+        per-light loop in get_shade used to call `blocked` L times, and
+        each call re-streamed every chunk's [C,48] rows from HBM and
+        recomputed the origin-dependent plane/edge dot products — but all
+        L shadow rays share their origin (the shading point), so one
+        chunk visit can test every light: rows are loaded once, `o_fn`
+        and the edge `og` terms are computed once, and only the
+        direction-dependent terms (`no_d`, `t`, edge `dg`) are per-light.
+
+        A chunk is entered when ANY light still has a pending lane whose
+        slab test passes; evaluating the other lights there too is
+        harmless — the triangle occlusion test is exact, and any real
+        occluder within a light's limit would have passed that light's
+        own slab test anyway — so the per-light results are bit-identical
+        to L independent `blocked` calls (whitted/MC parity through this
+        path: tests/test_blocked.py vs the dense jnp reference).
+        """
         px, py, pz = self.px, self.py, self.pz
-        out = jnp.zeros((1, px.shape[1]), jnp.int32)
+        L = len(rays)
+        shape = (1, px.shape[1])
+        outs = [jnp.zeros(shape, jnp.int32) for _ in range(L)]
+        if L == 0:
+            return []
         if self.n_tri > 0:
-            inv_dx, inv_dy, inv_dz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+            invs = [(1.0 / dx, 1.0 / dy, 1.0 / dz)
+                    for dx, dy, dz, _, _ in rays]
 
-            def chunk(ci, out):
-                pending = active & (out == 0)
+            def pend_hits(ci_box, outs):
+                pend, hits = [], []
+                for l, (dx, dy, dz, limit, act) in enumerate(rays):
+                    p = act & (outs[l] == 0)
+                    pend.append(p)
+                    hits.append(_slab_rows(ci_box, px, py, pz, *invs[l],
+                                           limit) & p)
+                enter = hits[0]
+                for h in hits[1:]:
+                    enter = enter | h
+                return pend, jnp.any(enter)
+
+            def chunk(ci, outs):
                 box = _box_rows(self.boxes8_ref, ci)
-                hit_box = _slab_rows(box, px, py, pz, inv_dx, inv_dy,
-                                     inv_dz, limit) & pending
+                pend, enter = pend_hits(box, outs)
 
-                def run(out):
+                def run(outs):
                     rows = _chunk_rows(self.tblk_ref, ci)
                     fn0, fn1, fn2 = rows[:, 0:1], rows[:, 1:2], rows[:, 2:3]
                     dpl = rows[:, 3:4]
                     ids_i = rows[:, 34:35].astype(jnp.int32)
-                    no_d = fn0 * dx + fn1 * dy + fn2 * dz
-                    t = (dpl - (fn0 * px + fn1 * py + fn2 * pz)) / no_d
-                    ok = (no_d > 0.0) & (t > 0.0) & (self.not_self != ids_i)
+                    not_self = self.not_self != ids_i
+                    o_fn = fn0 * px + fn1 * py + fn2 * pz
+                    eg, og = [], []
                     for e in range(3):
                         g0 = rows[:, 4 + 3 * e : 5 + 3 * e]
                         g1 = rows[:, 5 + 3 * e : 6 + 3 * e]
                         g2 = rows[:, 6 + 3 * e : 7 + 3 * e]
                         h = rows[:, 13 + e : 14 + e]
-                        og = g0 * px + g1 * py + g2 * pz
-                        dg = g0 * dx + g1 * dy + g2 * dz
-                        ok = ok & (og + h + t * dg >= 0.0)
-                    ok = ok & pending & jnp.isfinite(t) & (t < limit)
-                    return out | jnp.any(ok, axis=0, keepdims=True).astype(
-                        jnp.int32
-                    )
+                        eg.append((g0, g1, g2))
+                        og.append(g0 * px + g1 * py + g2 * pz + h)
+                    new = []
+                    for l, (dx, dy, dz, limit, _) in enumerate(rays):
+                        no_d = fn0 * dx + fn1 * dy + fn2 * dz
+                        t = (dpl - o_fn) / no_d
+                        ok = (no_d > 0.0) & (t > 0.0) & not_self
+                        for e in range(3):
+                            g0, g1, g2 = eg[e]
+                            ok = ok & (og[e]
+                                       + t * (g0 * dx + g1 * dy + g2 * dz)
+                                       >= 0.0)
+                        ok = ok & pend[l] & jnp.isfinite(t) & (t < limit)
+                        new.append(outs[l] | jnp.any(
+                            ok, axis=0, keepdims=True).astype(jnp.int32))
+                    return new
 
-                return jax.lax.cond(jnp.any(hit_box), run, lambda o: o, out)
+                return jax.lax.cond(enter, run, lambda o: o, outs)
 
-            def sup(si, out):
-                pending = active & (out == 0)
+            def sup(si, outs):
                 sbox = _box_rows(self.sup8_ref, si)
-                hit_sup = _slab_rows(sbox, px, py, pz, inv_dx, inv_dy,
-                                     inv_dz, limit) & pending
+                _, enter = pend_hits(sbox, outs)
 
-                def descend(out):
+                def descend(outs):
                     for j in range(SUP_CHUNKS):
-                        out = chunk(si * SUP_CHUNKS + j, out)
-                    return out
+                        outs = chunk(si * SUP_CHUNKS + j, outs)
+                    return outs
 
-                return jax.lax.cond(jnp.any(hit_sup), descend, lambda o: o,
-                                    out)
+                return jax.lax.cond(enter, descend, lambda o: o, outs)
 
-            out = jax.lax.fori_loop(0, self.n_chunks // SUP_CHUNKS, sup, out)
+            outs = jax.lax.fori_loop(0, self.n_chunks // SUP_CHUNKS, sup,
+                                     outs)
         if self.n_sph > 0:
             sph = self.sph
             r2 = sph[:, 3:4]
             wx, wy, wz = self.wx, self.wy, self.wz
-            qx = wy * dz - wz * dy
-            qy = wz * dx - wx * dz
-            qz = wx * dy - wy * dx
-            dist2 = qx * qx + qy * qy + qz * qz
-            tc = dx * wx + dy * wy + dz * wz
-            kk = jnp.sqrt(jnp.maximum(r2 - dist2, 0.0))
-            t = tc + kk  # Back rays take the far shell
-            ok = ((dist2 <= r2) & (t > 0.0) & self.not_self_sph
-                  & active & jnp.isfinite(t) & (t < limit))
-            out = out | jnp.any(ok, axis=0, keepdims=True).astype(jnp.int32)
-        return out != 0
+            for l, (dx, dy, dz, limit, act) in enumerate(rays):
+                qx = wy * dz - wz * dy
+                qy = wz * dx - wx * dz
+                qz = wx * dy - wy * dx
+                dist2 = qx * qx + qy * qy + qz * qz
+                tc = dx * wx + dy * wy + dz * wz
+                kk = jnp.sqrt(jnp.maximum(r2 - dist2, 0.0))
+                t = tc + kk  # Back rays take the far shell
+                ok = ((dist2 <= r2) & (t > 0.0) & self.not_self_sph
+                      & act & jnp.isfinite(t) & (t < limit))
+                outs[l] = outs[l] | jnp.any(
+                    ok, axis=0, keepdims=True).astype(jnp.int32)
+        return [o != 0 for o in outs]
 
 
 def blocked_back_sweep(px, py, pz, dx, dy, dz, active, tblk_ref, boxes8_ref,

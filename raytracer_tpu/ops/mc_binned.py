@@ -187,13 +187,61 @@ def _terminal_kernel(st_ref, g1_ref, g2_ref, g3_ref, sph_ref, mat_ref,
         casts_ref[:, :] = jnp.zeros_like(casts_ref)
 
 
-def _sort_state(state, lo, inv_extent):
-    """Sort lanes by (dead?, origin cell, direction octant).
+def _predict_out_dir(state, u_step, mats):
+    """Predict the direction the NEXT bounce kernel will advance along.
+
+    Replays mc_step's roulette + lobe sample in plain jnp from the carried
+    state and this bounce's pre-drawn uniforms: branch weights come from
+    the material table only (textures override diffuse/normal, never the
+    roulette weights, src/materials.rs:85-103), the lobe axis is -normal
+    (diffuse) / incoming (glossy), and the non-refract advance direction
+    is the REFLECTION of the sampled lobe about the hit normal
+    (mc_pallas.mc_step: reflect3(sd, n), mirroring main.rs:563/582 where
+    get_reflect re-reflects the perturbed hit).  Refract lanes advance
+    along the march's exit ray — unknowable here — so they keep the lobe
+    sample as a proxy.  This feeds the SORT KEY only: any permutation is
+    correct (photons scatter back by slot), so 1-ulp disagreements with
+    the in-kernel math can only cost coherence, never parity.
+    """
+    sh, tr, sm = mats
+    slot = jax.lax.bitcast_convert_type(state[mp.ST_SLOT], jnp.int32)
+    u_sel, u_phi, theta = (u_step[0, slot], u_step[1, slot],
+                           u_step[2, slot])
+    cobj = jnp.clip(
+        jax.lax.bitcast_convert_type(state[mp.ST_OBJ], jnp.int32),
+        0, sh.shape[0] - 1,
+    )
+    shin, transp, smooth = sh[cobj], tr[cobj], sm[cobj]
+    w0 = (1.0 - shin) * (1.0 - transp)
+    w1 = shin * (1.0 - transp)
+    r = u_sel * (w0 + w1 + transp)
+    sel_d = r < w0
+    sel_f = ~sel_d & (r >= w0 + w1)
+    nx, ny, nz = (state[mp.ST_NX], state[mp.ST_NY], state[mp.ST_NZ])
+    dx, dy, dz = (state[mp.ST_DX], state[mp.ST_DY], state[mp.ST_DZ])
+    expo = jnp.where(sel_d, 1.0, smooth)
+    ax = jnp.where(sel_d, -nx, dx)
+    ay = jnp.where(sel_d, -ny, dy)
+    az = jnp.where(sel_d, -nz, dz)
+    ax, ay, az = kc.normalize3(ax, ay, az)
+    phi = kc.acos(kc.powf(1.0 - u_phi, expo))
+    sp = jnp.sin(phi)
+    sdx, sdy, sdz = kc.rotate_from_z(
+        ax, ay, az, sp * jnp.cos(theta), sp * jnp.sin(theta), jnp.cos(phi)
+    )
+    fx, fy, fz = kc.reflect3(sdx, sdy, sdz, nx, ny, nz)
+    return (jnp.where(sel_f, sdx, fx), jnp.where(sel_f, sdy, fy),
+            jnp.where(sel_f, sdz, fz))
+
+
+def _sort_state(state, lo, inv_extent, u_step, mats):
+    """Sort lanes by (dead?, origin cell, predicted outgoing octant).
 
     Cell: 8x8x8 over the scene bbox -> 9 bits; octant: sign bits of the
-    CURRENT incoming direction (the glossy lobe hugs it, the diffuse lobe
-    hugs -normal — both correlate with it) -> 3 bits; dead lanes get the
-    top bit so they cluster into skippable tail tiles.  One stable
+    direction the bounce will actually cast along (_predict_out_dir —
+    keying on the stale INCOMING direction was measured a weak proxy for
+    diffuse lanes, whose lobe hugs -normal) -> 3 bits; dead lanes get
+    the top bit so they cluster into skippable tail tiles.  One stable
     argsort of int32 keys + one wide row-gather of the packed state.
     """
     dead = jax.lax.bitcast_convert_type(
@@ -205,10 +253,11 @@ def _sort_state(state, lo, inv_extent):
         t = (state[r] - lo[axis]) * inv_extent[axis]
         q.append(jnp.clip((t * 8.0).astype(jnp.int32), 0, 7))
     cell = (q[0] << 6) | (q[1] << 3) | q[2]
+    pdx, pdy, pdz = _predict_out_dir(state, u_step, mats)
     octant = (
-        (state[mp.ST_DX] < 0).astype(jnp.int32) << 2
-        | (state[mp.ST_DY] < 0).astype(jnp.int32) << 1
-        | (state[mp.ST_DZ] < 0).astype(jnp.int32)
+        (pdx < 0).astype(jnp.int32) << 2
+        | (pdy < 0).astype(jnp.int32) << 1
+        | (pdz < 0).astype(jnp.int32)
     )
     key = jnp.where(dead, jnp.int32(1 << 30), (cell << 3) | octant)
     perm = jnp.argsort(key, stable=True)
@@ -326,8 +375,9 @@ def trace(scene: Scene, textures, ray_o, ray_d, unifs, depth: int,
         )(state, u, g1, g2, g3, sph, mat_t, mat_T, lights)
 
     u_pad = jnp.pad(unifs, [(0, 0), (0, 0), (0, n_pad)]) if n_pad else unifs
+    mats = (scene.mat_shiness, scene.mat_transparency, scene.mat_smoothness)
     for step in range(depth):
-        state = _sort_state(state, lo, inv_extent)
+        state = _sort_state(state, lo, inv_extent, u_pad[step], mats)
         state, dc = bounce(state, u_pad[step])
         casts = casts + jnp.sum(dc)
 
