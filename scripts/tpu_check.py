@@ -27,6 +27,8 @@ GOLDEN = os.path.join(_G, "whitted_demo_64x48.npy")
 GOLDEN_MESH = os.path.join(_G, "whitted_mesh24_64x48.npy")
 GOLDEN_STREAM = os.path.join(_G, "whitted_mesh96_64x48.npy")
 GOLDEN_SCALE = os.path.join(_G, "whitted_mesh160_64x48.npy")
+GOLDEN_MC = os.path.join(_G, "mc_demo_64x48.npy")
+GOLDEN_MC_MESH = os.path.join(_G, "mc_mesh24_64x48.npy")
 
 
 def render(kind: str = "demo"):
@@ -56,6 +58,36 @@ def render(kind: str = "demo"):
     cfg = RenderConfig(width=64, height=48, depth=5, tile_rays=64 * 48)
     img, stats = render_whitted(scene, textures, cam, cfg)
     assert stats["dropped"] == 0, f"pool overflow: {stats}"
+    return np.asarray(img)
+
+
+def render_mc(kind: str = "demo"):
+    """One stochastic epoch, fixed key — pins the MC kernels on hardware.
+
+    counter-based threefry draws are backend-independent, so the CPU
+    golden and the chip walk the SAME random decisions; divergence can
+    come only from fp-order branch flips (roulette/TIR boundaries) on
+    isolated walks.  `kind`: "demo" drives the dense whole-walk
+    mega-kernel (ops/mc_pallas.py), "mesh" the binned per-bounce blocked
+    path (ops/mc_binned.py).
+    """
+    import jax
+
+    from raytracer_tpu.config import RenderConfig
+    from raytracer_tpu.render import render_distributed_epoch
+    from raytracer_tpu.scene.presets import demo_camera, demo_scene, mesh_scene
+    from raytracer_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+    if kind == "mesh":
+        scene, textures, cam = mesh_scene(grid=24)
+    else:
+        scene, textures = demo_scene()
+        cam = demo_camera()
+    cfg = RenderConfig(width=64, height=48, depth=5, tile_rays=64 * 48)
+    img, stats = render_distributed_epoch(scene, textures, cam, cfg,
+                                          jax.random.PRNGKey(7))
+    assert stats["casts"] > 0, stats
     return np.asarray(img)
 
 
@@ -155,6 +187,13 @@ def main() -> int:
             img = render(kind)
             np.save(path, img)
             print(f"golden written: {path} mean={img.mean():.4f}")
+        for kind, path in [("mc-demo", GOLDEN_MC),
+                           ("mc-mesh", GOLDEN_MC_MESH)]:
+            if args.update and kind not in args.update:
+                continue
+            img = render_mc(kind.split("-")[1])
+            np.save(path, img)
+            print(f"golden written: {path} mean={img.mean():.4f}")
         return 0
 
     import jax
@@ -190,6 +229,32 @@ def main() -> int:
             f"psnr_vs_cpu_golden={p:.1f} dB bad_pixel_frac={bad:.4f} "
             f"({'OK' if ok else 'FAIL'}; thresholds {min_psnr} dB / "
             f"{max_bad})"
+        )
+        rc |= 0 if ok else 1
+
+    # MC kernels pinned on hardware: one fixed-key epoch per path (dense
+    # mega-kernel / binned blocked).  Single-sample photons: a branch
+    # flip (roulette/TIR boundary under fp-order differences) replaces
+    # that pixel's WHOLE walk, so the honest gate is the fraction of
+    # flipped pixels (scattered singles, not regions) — PSNR over
+    # one-sample MC collapses at a handful of such pixels and is printed
+    # as a collapse detector only.
+    for name, kind, path in [("mc-demo", "demo", GOLDEN_MC),
+                             ("mc-mesh24", "mesh", GOLDEN_MC_MESH)]:
+        if not os.path.exists(path):
+            print(f"{name}: golden missing ({path}); run --update on CPU")
+            continue
+        img = render_mc(kind)
+        golden = np.load(path)
+        p = psnr(img, golden)
+        bad = float((np.abs(img - golden).max(axis=-1) > 0.1).mean())
+        # measured on hardware 2026-08-18: mc-demo 65.7 dB / 0.0007,
+        # mc-mesh24 38.0 dB / 0.0046 — gates at ~2x margin
+        ok = bad <= 0.01 and p >= 25.0
+        print(
+            f"{name}: backend={jax.default_backend()} "
+            f"psnr_vs_cpu_golden={p:.1f} dB bad_pixel_frac={bad:.4f} "
+            f"({'OK' if ok else 'FAIL'}; thresholds 25.0 dB / 0.01)"
         )
         rc |= 0 if ok else 1
 
