@@ -189,6 +189,40 @@ def main() -> int:
             f"{e_stats['casts'] / e_best / 1e6:.1f} Mrays/s")
         result["mesh11k_mc_epoch_seconds"] = round(e_best, 4)
 
+        # scale metric: 51,272-tri terrain (~3x the HBM-streaming
+        # threshold, ~25x the round-1 VMEM ceiling) — the largest scene
+        # correctness-pinned on hardware (tpu_check mesh160-50k).  The
+        # reference's brute-force scan handles any size, slowly
+        # (src/main.rs:183-262); this records that the streamed blocked
+        # path's throughput stays on the bench radar at 50k scale.
+        s_scene, s_tex, s_cam = mesh_scene(grid=160)
+        img_s, _ = render_whitted(s_scene, s_tex, s_cam, m_cfg)
+        img_s.block_until_ready()  # compile warmup
+        s_best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            img_s, s_stats = render_whitted(s_scene, s_tex, s_cam, m_cfg)
+            img_s.block_until_ready()
+            s_best = min(s_best, time.time() - t0)
+        log(f"mesh 51k-tri whitted frame: {s_best * 1e3:.0f} ms, "
+            f"{s_stats['casts'] / s_best / 1e6:.1f} Mrays/s, "
+            f"dropped={s_stats['dropped']}")
+        result["mesh51k_mrays_per_sec"] = round(
+            s_stats["casts"] / s_best / 1e6, 2
+        )
+        result["mesh51k_frame_seconds"] = round(s_best, 4)
+        result["mesh51k_tris"] = int(s_scene.n_tri)
+        rde(s_scene, s_tex, s_cam, m_cfg, key)[0].block_until_ready()
+        se_best = float("inf")
+        for r in range(2):
+            t0 = time.time()
+            _, se_stats = rde(s_scene, s_tex, s_cam, m_cfg,
+                              jax.random.fold_in(key, 300 + r))
+            se_best = min(se_best, time.time() - t0)
+        log(f"mesh 51k-tri MC epoch: {se_best * 1e3:.0f} ms, "
+            f"{se_stats['casts'] / se_best / 1e6:.1f} Mrays/s")
+        result["mesh51k_mc_epoch_seconds"] = round(se_best, 4)
+
     # --- second metric: the FULL reference schedule, end-to-end ---
     # Exactly what src/main.rs:1084-1173 does: 1280x960, depth 5, Whitted
     # pass + 100 stochastic epochs, percentile renorm + atomic PNG after

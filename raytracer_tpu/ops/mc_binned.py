@@ -243,6 +243,9 @@ def _sort_state(state, lo, inv_extent, u_step, mats):
     diffuse lanes, whose lobe hugs -normal) -> 3 bits; dead lanes get
     the top bit so they cluster into skippable tail tiles.  One stable
     argsort of int32 keys + one wide row-gather of the packed state.
+    (16^3 cells were measured ~5% WORSE on the 51k terrain despite its
+    ~400 chunks: the finer cell dominates the key and fragments octant
+    coherence without changing chunk entry much.)
     """
     dead = jax.lax.bitcast_convert_type(
         state[mp.ST_ALIVE], jnp.int32
