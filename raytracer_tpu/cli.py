@@ -183,6 +183,18 @@ def main(argv=None) -> int:
             scene, textures = preset()
         camera = demo_camera()
     log = print
+    if os.environ.get("RAYTPU_TEST_FAIL_ALWAYS"):
+        # Deterministic-failure injection for the supervisor's no-progress
+        # abort test: die on the FIRST throughput line, every process, so
+        # the checkpoint never advances and the supervisor must detect the
+        # failure as deterministic rather than relaunching forever.
+        def log(msg, _p=print):
+            _p(msg, flush=True)
+            if "rays in" in msg:
+                raise RuntimeError(
+                    "injected deterministic failure (RAYTPU_TEST_FAIL_ALWAYS)"
+                )
+
     tok = os.environ.get("RAYTPU_TEST_FAIL_TOKEN")
     if tok:
         # Failure-injection hook for the supervisor's end-to-end test: die

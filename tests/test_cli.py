@@ -77,6 +77,27 @@ def test_cli_retries_resumes_after_transient_failure(tmp_path):
     assert img.shape == (8, 12, 3) and img.sum() > 0
 
 
+def test_cli_retries_aborts_on_deterministic_failure(tmp_path):
+    """--retries loop prevention (cli.py _supervise): a child that fails
+    the same way every launch with zero checkpoint progress must be
+    declared deterministic after TWO no-progress failures and abort —
+    not burn all N relaunches (each costing a 30 s default delay)."""
+    out = str(tmp_path / "det.png")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", RAYTPU_FORCE_CPU="1",
+               RAYTPU_TEST_FAIL_ALWAYS="1", RAYTPU_RETRY_DELAY="0")
+    r = subprocess.run(
+        [sys.executable, "-m", "raytracer_tpu", "--scene", "01-spheres",
+         "--width", "12", "--height", "8", "--depth", "1", "--epochs", "2",
+         "--out", out, "--tile-rays", "96", "--retries", "5"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode != 0, r.stdout[-2000:]
+    assert "deterministic error, giving up" in r.stdout
+    # aborted after exactly 2 attempts, not the 6 the budget allowed
+    assert "supervisor: attempt 1 failed" in r.stdout
+    assert "supervisor: attempt 2 failed" not in r.stdout
+
+
 def test_cli_warm_cache(tmp_path):
     """--warm-cache compiles the config's programs and exits without
     touching the output path."""
