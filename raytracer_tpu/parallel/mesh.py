@@ -59,6 +59,66 @@ def init_multihost(coordinator: Optional[str] = None,
     jax.distributed.initialize(**kwargs)
 
 
+def _global_replicated(tree, mesh: Mesh):
+    """Map each leaf of a host pytree to a fully-replicated global array.
+
+    In a multi-controller (multi-host) run, jit inputs must be jax.Arrays
+    whose sharding spans the global mesh; plain numpy / process-local
+    arrays are only addressable on their own process.  Every process calls
+    this with the SAME values (the scene is replicated by construction).
+    """
+    from jax.sharding import NamedSharding
+
+    rep = NamedSharding(mesh, P())
+
+    def leaf(x):
+        x = np.asarray(x)
+        if x.ndim == 0:
+            # scalars replicate fine as python/numpy values
+            return x
+        return jax.make_array_from_callback(x.shape, rep, lambda idx: x[idx])
+
+    return jax.tree_util.tree_map(leaf, tree)
+
+
+def render_whitted_multihost(
+    scene: Scene, textures, camera: Camera, cfg: RenderConfig, mesh: Mesh
+):
+    """render_whitted_sharded for a mesh that spans multiple PROCESSES
+    (jax.distributed / init_multihost flow, SURVEY.md §5.8).
+
+    Same compiled computation as the single-controller path; the
+    differences are purely data plumbing: the clip grid is materialized as
+    a global array sharded over the flattened mesh (each process fills only
+    its addressable shards), the replicated scene/camera pytrees are lifted
+    to global arrays, and the sharded output image is allgathered back to
+    host numpy on every process.
+    """
+    from jax.experimental import multihost_utils
+    from jax.sharding import NamedSharding
+
+    nflat = mesh.shape["dp"] * mesh.shape["sp"]
+    clips, pad = _pad_to(clip_coords(cfg.width, cfg.height), nflat)
+    sh = NamedSharding(mesh, P(("dp", "sp")))
+    gclips = jax.make_array_from_callback(
+        clips.shape, sh, lambda idx: clips[idx]
+    )
+    gscene = _global_replicated(scene, mesh)
+    gcam = _global_replicated(camera, mesh)
+    # textures is a static (hashable) argument, not a traced pytree
+    color, casts, dropped = _whitted_sharded(
+        gscene, gcam, gclips, textures, cfg, mesh
+    )
+    full = np.asarray(multihost_utils.process_allgather(color, tiled=True))
+    n = cfg.width * cfg.height
+    img = full[:n].reshape(cfg.height, cfg.width, 3)
+    return img, {
+        "casts": int(np.asarray(casts)),
+        "dropped": int(np.asarray(dropped)),
+        "primary_rays": n,
+    }
+
+
 def make_render_mesh(
     n_devices: Optional[int] = None, sp: Optional[int] = None
 ) -> Mesh:
