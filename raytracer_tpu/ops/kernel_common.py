@@ -872,6 +872,28 @@ def pack_sup8(scene: Scene) -> jnp.ndarray:
     return jnp.repeat(sup, 8, axis=0)
 
 
+def sup_visit_order(cen, sup8) -> jnp.ndarray:
+    """Per-kernel-tile supergroup visit order, nearest box first.
+
+    cen: [G, 3] representative ray origin per tile (e.g. the alive-lane
+    centroid).  sup8: the pack_sup8 table.  Returns [G, NSUP] i32 rows
+    for the blocked sweeps' order_ref (see _sup_at): visiting supergroups
+    front-to-back from the tile's origins lets the per-lane tmax prune
+    the chunks BEHIND the first hits.  Distance is the clamped
+    point-to-AABB distance (zero inside the box); an all-padding
+    supergroup carries an inverted box whose distance is huge, so it
+    sorts last (and its slab test never passes anyway).  The order is a
+    pure heuristic — any permutation returns bit-identical sweep results.
+    """
+    lo = sup8[::8, 0:3]  # [NSUP, 3]
+    hi = sup8[::8, 3:6]
+    d = jnp.maximum(lo[None, :, :] - cen[:, None, :], 0.0) + jnp.maximum(
+        cen[:, None, :] - hi[None, :, :], 0.0
+    )
+    dist = jnp.sum(d * d, axis=-1)
+    return jnp.argsort(dist, axis=1).astype(jnp.int32)
+
+
 def _slab_rows(box, ox, oy, oz, inv_dx, inv_dy, inv_dz, tmax):
     """Chunk-AABB slab test against ray lanes; [1,R] bool.
 
@@ -973,9 +995,44 @@ def _box_rows(boxes8_ref, ci):
     return boxes8_ref[pl.ds(ci * 8, 8), :]
 
 
+def _sup_at(order_ref, k):
+    """Supergroup index for outer-loop step k.
+
+    order_ref is an optional per-kernel-tile [1, NSUP] i32 SMEM row giving
+    the supergroup VISIT ORDER (nearest-to-the-tile's-rays first).  The
+    two-tier sweeps are order-independent — the winner tie-break is
+    associative and a slab-pruned chunk provably cannot contain a winner
+    (its tn > best_t bounds every contained t) — so any permutation gives
+    bit-identical results; a front-to-back order just lets the per-lane
+    tmax prune chunks BEHIND the first hits instead of entering them,
+    which is where scattered bounce casts on large meshes spend their
+    time (docs/PERF.md 'Where the 51k MC epoch goes').
+
+    The ref is an 8-row SMEM window (pack_sup_order): Mosaic requires
+    SMEM block sublane dims divisible by 8, so each kernel tile sees the
+    8-row group containing its own row and picks it by program_id % 8."""
+    if order_ref is None:
+        return k
+    return order_ref[pl.program_id(0) % 8, k]
+
+
+def pack_sup_order(order: jnp.ndarray):
+    """([G, NSUP] i32 visit-order table) -> (padded array, BlockSpec).
+
+    Pads the tile dim to a multiple of 8 and windows 8 rows per kernel
+    tile into SMEM (see _sup_at for why 8)."""
+    g, nsup = order.shape
+    pad = (-g) % 8
+    if pad:
+        order = jnp.pad(order, [(0, pad), (0, 0)])
+    spec = pl.BlockSpec((8, nsup), lambda i: (i // 8, 0),
+                        memory_space=pltpu.SMEM)
+    return order, spec
+
+
 def blocked_full_sweep(o, d, face, excl_prim, excl_face, active,
                        tblk_ref, boxes8_ref, sup8_ref, sph, n_tri: int,
-                       n_sph: int, n_chunks: int):
+                       n_sph: int, n_chunks: int, order_ref=None):
     """Nearest hit with all attributes over the blocked layout.
 
     Semantics identical to `full_sweep` (== ops/intersect.cast): face
@@ -984,7 +1041,8 @@ def blocked_full_sweep(o, d, face, excl_prim, excl_face, active,
     triangle normals, spherical uv.  Winner attributes are reconstructed
     per hit chunk with ONE [BLK_COLS, BLK_CHUNK] x [BLK_CHUNK, R] MXU
     one-hot contraction and carried through the two-tier loop
-    (supergroups of SUP_CHUNKS chunks gate first)."""
+    (supergroups of SUP_CHUNKS chunks gate first, visited in order_ref
+    order when given — see _sup_at)."""
     ox, oy, oz = o
     dx, dy, dz = d
     shape = (1, ox.shape[1])
@@ -1074,7 +1132,8 @@ def blocked_full_sweep(o, d, face, excl_prim, excl_face, active,
 
         return jax.lax.cond(jnp.any(hit_box), run, lambda s: s, st)
 
-    def sup(si, st):
+    def sup(k, st):
+        si = _sup_at(order_ref, k)
         sbox = _box_rows(sup8_ref, si)
         hit_sup = _slab_rows(sbox, ox, oy, oz, inv_dx, inv_dy, inv_dz,
                              st["t"]) & active
@@ -1176,13 +1235,15 @@ class _BlockedShadowSweep:
     every lane is blocked."""
 
     def __init__(self, px, py, pz, not_self_excl, tblk_ref, boxes8_ref,
-                 sup8_ref, sph, n_tri: int, n_sph: int, n_chunks: int):
+                 sup8_ref, sph, n_tri: int, n_sph: int, n_chunks: int,
+                 order_ref=None):
         self.px, self.py, self.pz = px, py, pz
         self.not_self = not_self_excl
         self.tblk_ref, self.boxes8_ref = tblk_ref, boxes8_ref
         self.sup8_ref = sup8_ref
         self.sph = sph
         self.n_tri, self.n_sph, self.n_chunks = n_tri, n_sph, n_chunks
+        self.order_ref = order_ref
         if n_sph > 0:
             cx, cy, cz = sph[:, 0:1], sph[:, 1:2], sph[:, 2:3]
             self.wx, self.wy, self.wz = cx - px, cy - py, cz - pz
@@ -1267,7 +1328,11 @@ class _BlockedShadowSweep:
 
                 return jax.lax.cond(enter, run, lambda o: o, outs)
 
-            def sup(si, outs):
+            def sup(k, outs):
+                # front-to-back order finds occluders early, so later
+                # chunks see fewer pending lanes and gate off (any-hit:
+                # result is order-independent)
+                si = _sup_at(self.order_ref, k)
                 sbox = _box_rows(self.sup8_ref, si)
                 _, enter = pend_hits(sbox, outs)
 
@@ -1300,7 +1365,8 @@ class _BlockedShadowSweep:
 
 
 def blocked_back_sweep(px, py, pz, dx, dy, dz, active, tblk_ref, boxes8_ref,
-                       sup8_ref, sph, n_tri: int, n_sph: int, n_chunks: int):
+                       sup8_ref, sph, n_tri: int, n_sph: int, n_chunks: int,
+                       order_ref=None):
     """Blocked-layout interior sweep: nearest BACKFACE hit + flipped
     interpolated normal (the large-mesh `back_sweep_with_normal`).
 
@@ -1375,7 +1441,8 @@ def blocked_back_sweep(px, py, pz, dx, dy, dz, active, tblk_ref, boxes8_ref,
 
         return jax.lax.cond(jnp.any(hit_box), run, lambda s: s, st)
 
-    def sup(si, st):
+    def sup(k, st):
+        si = _sup_at(order_ref, k)
         sbox = _box_rows(sup8_ref, si)
         hit_sup = _slab_rows(sbox, px, py, pz, inv_dx, inv_dy, inv_dz,
                              st["t"]) & active
@@ -1469,22 +1536,25 @@ class BlockedGeom:
     above)."""
 
     def __init__(self, tblk_ref, boxes8_ref, sup8_ref, sph, n_tri: int,
-                 n_sph: int, n_chunks: int):
+                 n_sph: int, n_chunks: int, order_ref=None):
         self.tblk_ref, self.boxes8_ref = tblk_ref, boxes8_ref
         self.sup8_ref = sup8_ref
         self.sph = sph
         self.n_tri, self.n_sph, self.n_chunks = n_tri, n_sph, n_chunks
+        self.order_ref = order_ref
 
     def nearest(self, o, d, face, excl_prim, excl_face, active):
         return blocked_full_sweep(o, d, face, excl_prim, excl_face, active,
                                   self.tblk_ref, self.boxes8_ref,
                                   self.sup8_ref, self.sph,
-                                  self.n_tri, self.n_sph, self.n_chunks)
+                                  self.n_tri, self.n_sph, self.n_chunks,
+                                  order_ref=self.order_ref)
 
     def shadow_sweep(self, px, py, pz, prim):
         return _BlockedShadowSweep(px, py, pz, prim, self.tblk_ref,
                                    self.boxes8_ref, self.sup8_ref, self.sph,
-                                   self.n_tri, self.n_sph, self.n_chunks)
+                                   self.n_tri, self.n_sph, self.n_chunks,
+                                   order_ref=self.order_ref)
 
     def march(self, px, py, pz, nx, ny, nz, dx, dy, dz, k, want,
               max_distance: float, max_retries: int):
@@ -1492,7 +1562,8 @@ class BlockedGeom:
             return blocked_back_sweep(sx, sy, sz, sdx, sdy, sdz, act,
                                       self.tblk_ref, self.boxes8_ref,
                                       self.sup8_ref, self.sph, self.n_tri,
-                                      self.n_sph, self.n_chunks)
+                                      self.n_sph, self.n_chunks,
+                                      order_ref=self.order_ref)
 
         return march_rows(px, py, pz, nx, ny, nz, dx, dy, dz, k, want,
                           None, self.sph, self.n_tri, self.n_sph,

@@ -70,8 +70,8 @@ def _istore(ref, r, val):
     ref[r : r + 1, :] = pltpu.bitcast(val, jnp.float32)
 
 
-def _level_kernel(pp_ref, g1_ref, g2_ref, g3_ref, sph_ref, mat_ref,
-                  mat_T_ref, light_ref,
+def _level_kernel(pp_ref, order_ref, g1_ref, g2_ref, g3_ref, sph_ref,
+                  mat_ref, mat_T_ref, light_ref,
                   contrib_ref, rch_ref, fch_ref, casts_ref,
                   *scratch,
                   last: bool, direct: bool, blocked: bool, n_chunks: int,
@@ -111,8 +111,8 @@ def _level_kernel(pp_ref, g1_ref, g2_ref, g3_ref, sph_ref, mat_ref,
 
     @pl.when(jnp.any(alive))
     def _():
-        _level_body(pp_ref, alive, pend, g1_ref, g2_ref, g3_ref, sph_ref,
-                    mat_ref, mat_T_ref, light_ref,
+        _level_body(pp_ref, alive, pend, order_ref, g1_ref, g2_ref, g3_ref,
+                    sph_ref, mat_ref, mat_T_ref, light_ref,
                     contrib_ref, rch_ref, fch_ref, casts_ref,
                     last=last, direct=direct, blocked=blocked,
                     n_chunks=n_chunks, n_tri=n_tri, n_sph=n_sph,
@@ -121,8 +121,8 @@ def _level_kernel(pp_ref, g1_ref, g2_ref, g3_ref, sph_ref, mat_ref,
                     textures=textures)
 
 
-def _level_body(pp_ref, alive, pend, g1_ref, g2_ref, g3_ref, sph_ref,
-                mat_ref, mat_T_ref, light_ref,
+def _level_body(pp_ref, alive, pend, order_ref, g1_ref, g2_ref, g3_ref,
+                sph_ref, mat_ref, mat_T_ref, light_ref,
                 contrib_ref, rch_ref, fch_ref, casts_ref,
                 *, last, direct, blocked, n_chunks, n_tri, n_sph, n_light,
                 threshold, max_distance, max_retries, textures):
@@ -136,7 +136,7 @@ def _level_body(pp_ref, alive, pend, g1_ref, g2_ref, g3_ref, sph_ref,
     sph = sph_ref[:, :]
     if blocked:
         geom = kc.BlockedGeom(g1_ref, g2_ref, g3_ref, sph, n_tri, n_sph,
-                              n_chunks)
+                              n_chunks, order_ref=order_ref)
     else:
         geom = kc.DenseGeom(g1_ref[:, :], g2_ref[:, :], sph, n_tri, n_sph)
     mat_t = mat_ref[:, :]
@@ -300,11 +300,27 @@ def process_level(scene: Scene, textures, pool_packed, last: bool,
     # some lane's ray enters pay the copy.
     g1, g1_spec, scratch_shapes = kc.stream_spec(g1, blocked)
     npad = pp.shape[1]
+    # per-tile supergroup visit order (front-to-back from the tile's
+    # alive-origin centroid, kc.sup_visit_order) so the blocked sweeps'
+    # tmax prunes the chunks behind the first hits; dense scenes get a
+    # 1-column dummy the kernel never reads
+    if blocked:
+        alive_row = jax.lax.bitcast_convert_type(
+            pp[ROW_ALIVE : ROW_ALIVE + 1], jnp.int32
+        ) != 0
+        w = alive_row.reshape(grid, tile).astype(jnp.float32)
+        pos = pp[ROW_O : ROW_O + 3].reshape(3, grid, tile)
+        cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)
+        cen = (jnp.sum(pos * w[None], axis=2) / cnt[None]).T
+        order = kc.sup_visit_order(cen, g3)
+    else:
+        order = jnp.zeros((grid, 1), jnp.int32)
+    order, sord = kc.pack_sup_order(order)
     contrib, rch, fch, casts = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
-            row(N_ROWS),
+            row(N_ROWS), sord,
             g1_spec, const(g2), const(g3), const(sph), const(mat_t),
             const(mat_T), const(lights),
         ],
@@ -317,7 +333,7 @@ def process_level(scene: Scene, textures, pool_packed, last: bool,
         ],
         scratch_shapes=scratch_shapes,
         interpret=interpret,
-    )(pp, g1, g2, g3, sph, mat_t, mat_T, lights)
+    )(pp, order, g1, g2, g3, sph, mat_t, mat_T, lights)
 
     return (contrib[:, :n], rch[:, :n], fch[:, :n],
             jnp.sum(casts[0, :n]))

@@ -97,19 +97,19 @@ def _write_state(out_ref, st, slot_i32):
 
 
 def _geom_of(g1_ref, g2_ref, g3_ref, sph_ref, scratch, n_tri, n_sph,
-             n_chunks):
+             n_chunks, order_ref=None):
     if scratch:
         g1_ref = kc.ChunkTable(g1_ref, scratch[0], scratch[1])
     return kc.BlockedGeom(g1_ref, g2_ref, g3_ref, sph_ref[:, :], n_tri,
-                          n_sph, n_chunks)
+                          n_sph, n_chunks, order_ref=order_ref)
 
 
-def _primary_kernel(o_ref, d_ref, slot_ref, g1_ref, g2_ref, g3_ref,
-                    sph_ref, st_ref, casts_ref, *scratch, n_chunks: int,
-                    n_tri: int, n_sph: int):
+def _primary_kernel(o_ref, d_ref, slot_ref, order_ref, g1_ref, g2_ref,
+                    g3_ref, sph_ref, st_ref, casts_ref, *scratch,
+                    n_chunks: int, n_tri: int, n_sph: int):
     """Primary cast -> initial packed walk state (main.rs:1150)."""
     geom = _geom_of(g1_ref, g2_ref, g3_ref, sph_ref, scratch, n_tri, n_sph,
-                    n_chunks)
+                    n_chunks, order_ref)
     o = (o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :])
     d = (d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :])
     shape = (1, o[0].shape[1])
@@ -129,18 +129,18 @@ def _primary_kernel(o_ref, d_ref, slot_ref, g1_ref, g2_ref, g3_ref,
     casts_ref[:, :] = jnp.ones(shape, jnp.int32)
 
 
-def _bounce_kernel(st_in_ref, unif_ref, g1_ref, g2_ref, g3_ref, sph_ref,
-                   mat_ref, mat_T_ref, light_ref, st_out_ref, casts_ref,
-                   *scratch, n_chunks: int, n_tri: int, n_sph: int,
-                   n_light: int, max_distance: float, max_retries: int,
-                   textures):
+def _bounce_kernel(st_in_ref, unif_ref, order_ref, g1_ref, g2_ref, g3_ref,
+                   sph_ref, mat_ref, mat_T_ref, light_ref, st_out_ref,
+                   casts_ref, *scratch, n_chunks: int, n_tri: int,
+                   n_sph: int, n_light: int, max_distance: float,
+                   max_retries: int, textures):
     """One mc_step bounce over a state tile; dead tiles pass through."""
     any_alive = jnp.any(_iload(st_in_ref, mp.ST_ALIVE) != 0)
 
     @pl.when(any_alive)
     def _run():
         geom = _geom_of(g1_ref, g2_ref, g3_ref, sph_ref, scratch, n_tri,
-                        n_sph, n_chunks)
+                        n_sph, n_chunks, order_ref)
         st = _st_from_rows(st_in_ref)
         new_st, dc = mp.mc_step(
             geom, mat_ref[:, :], mat_T_ref[:, :], light_ref[:, :], n_light,
@@ -156,10 +156,10 @@ def _bounce_kernel(st_in_ref, unif_ref, g1_ref, g2_ref, g3_ref, sph_ref,
         casts_ref[:, :] = jnp.zeros_like(casts_ref)
 
 
-def _terminal_kernel(st_ref, g1_ref, g2_ref, g3_ref, sph_ref, mat_ref,
-                     mat_T_ref, light_ref, photon_ref, casts_ref, *scratch,
-                     n_chunks: int, n_tri: int, n_sph: int, n_light: int,
-                     textures):
+def _terminal_kernel(st_ref, order_ref, g1_ref, g2_ref, g3_ref, sph_ref,
+                     mat_ref, mat_T_ref, light_ref, photon_ref, casts_ref,
+                     *scratch, n_chunks: int, n_tri: int, n_sph: int,
+                     n_light: int, textures):
     """Depth-exhausted terminal shade (main.rs:524-527); photons come out
     in the CURRENT (sorted) lane order — the caller scatters by slot."""
     any_alive = jnp.any(_iload(st_ref, mp.ST_ALIVE) != 0)
@@ -167,7 +167,7 @@ def _terminal_kernel(st_ref, g1_ref, g2_ref, g3_ref, sph_ref, mat_ref,
     @pl.when(any_alive)
     def _run():
         geom = _geom_of(g1_ref, g2_ref, g3_ref, sph_ref, scratch, n_tri,
-                        n_sph, n_chunks)
+                        n_sph, n_chunks, order_ref)
         st = _st_from_rows(st_ref)
         ar, ag, ab, cnt = mp.mc_terminal(
             geom, mat_ref[:, :], mat_T_ref[:, :], light_ref[:, :], n_light,
@@ -301,6 +301,25 @@ def trace(scene: Scene, textures, ray_o, ray_d, unifs, depth: int,
                                  memory_space=pltpu.VMEM)
     const = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
                                    memory_space=pltpu.VMEM)
+    # per-tile supergroup visit order (kc.sup_visit_order: front-to-back
+    # from the tile's origins so tmax prunes the chunks behind the first
+    # hits), delivered as 8-row SMEM windows (kc.pack_sup_order)
+
+    def tile_centroids(pos, w):
+        """[3, grid, tile] positions + [grid, tile] weights -> [grid, 3]."""
+        cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)
+        return (jnp.sum(pos * w[None], axis=2) / cnt[None]).T
+
+    def state_order(state):
+        alive = jax.lax.bitcast_convert_type(
+            state[mp.ST_ALIVE : mp.ST_ALIVE + 1], jnp.int32
+        ) != 0
+        pos = state[mp.ST_PX : mp.ST_PZ + 1].reshape(3, grid, tile)
+        w = alive.reshape(grid, tile).astype(jnp.float32)
+        order, _ = kc.pack_sup_order(
+            kc.sup_visit_order(tile_centroids(pos, w), g3)
+        )
+        return order
 
     def prep(x):
         x = x.T if x.ndim == 2 else x[None, :]
@@ -313,13 +332,19 @@ def trace(scene: Scene, textures, ray_o, ray_d, unifs, depth: int,
     )[None, :]
 
     # --- primary cast ---
+    o_t, d_t = prep(ray_o), prep(ray_d)
+    order0, sord = kc.pack_sup_order(kc.sup_visit_order(
+        tile_centroids(o_t.reshape(3, grid, tile),
+                       jnp.ones((grid, tile), jnp.float32)),
+        g3,
+    ))
     pk = functools.partial(_primary_kernel, n_chunks=n_chunks,
                            n_tri=scene.n_tri, n_sph=scene.n_sph)
     state, casts0 = pl.pallas_call(
         pk,
         grid=(grid,),
-        in_specs=[row(3), row(3), row(1), g1_spec, const(g2), const(g3),
-                  const(sph)],
+        in_specs=[row(3), row(3), row(1), sord, g1_spec, const(g2),
+                  const(g3), const(sph)],
         out_specs=[row(N_ST), row(1)],
         out_shape=[
             jax.ShapeDtypeStruct((N_ST, npad), jnp.float32),
@@ -327,8 +352,8 @@ def trace(scene: Scene, textures, ray_o, ray_d, unifs, depth: int,
         ],
         scratch_shapes=scratch_shapes,
         interpret=interpret,
-    )(prep(ray_o), prep(ray_d), jax.lax.bitcast_convert_type(
-        slots, jnp.float32), g1, g2, g3, sph)
+    )(o_t, d_t, jax.lax.bitcast_convert_type(
+        slots, jnp.float32), order0, g1, g2, g3, sph)
     # padded lanes: mark dead so they never pay bounce work (their zero
     # accum + dead state make the final slot-0 scatter-add a no-op)
     if n_pad:
@@ -365,8 +390,8 @@ def trace(scene: Scene, textures, ray_o, ray_d, unifs, depth: int,
         return pl.pallas_call(
             bk,
             grid=(grid,),
-            in_specs=[row(N_ST), row(3), g1_spec, const(g2), const(g3),
-                      const(sph), const(mat_t), const(mat_T),
+            in_specs=[row(N_ST), row(3), sord, g1_spec, const(g2),
+                      const(g3), const(sph), const(mat_t), const(mat_T),
                       const(lights)],
             out_specs=[row(N_ST), row(1)],
             out_shape=[
@@ -375,7 +400,8 @@ def trace(scene: Scene, textures, ray_o, ray_d, unifs, depth: int,
             ],
             scratch_shapes=scratch_shapes,
             interpret=interpret,
-        )(state, u, g1, g2, g3, sph, mat_t, mat_T, lights)
+        )(state, u, state_order(state), g1, g2, g3, sph, mat_t, mat_T,
+          lights)
 
     u_pad = jnp.pad(unifs, [(0, 0), (0, 0), (0, n_pad)]) if n_pad else unifs
     mats = (scene.mat_shiness, scene.mat_transparency, scene.mat_smoothness)
@@ -391,8 +417,8 @@ def trace(scene: Scene, textures, ray_o, ray_d, unifs, depth: int,
     photon_rows, dc = pl.pallas_call(
         tk,
         grid=(grid,),
-        in_specs=[row(N_ST), g1_spec, const(g2), const(g3), const(sph),
-                  const(mat_t), const(mat_T), const(lights)],
+        in_specs=[row(N_ST), sord, g1_spec, const(g2), const(g3),
+                  const(sph), const(mat_t), const(mat_T), const(lights)],
         out_specs=[row(3), row(1)],
         out_shape=[
             jax.ShapeDtypeStruct((3, npad), jnp.float32),
@@ -400,7 +426,7 @@ def trace(scene: Scene, textures, ray_o, ray_d, unifs, depth: int,
         ],
         scratch_shapes=scratch_shapes,
         interpret=interpret,
-    )(state, g1, g2, g3, sph, mat_t, mat_T, lights)
+    )(state, state_order(state), g1, g2, g3, sph, mat_t, mat_T, lights)
     casts = casts + jnp.sum(dc)
 
     # un-permute: scatter-add photons back to slot order.  Pad lanes were

@@ -229,8 +229,8 @@ def mc_terminal(geom, mat_t, mat_T, lights, n_light: int, textures,
     return ar, ag, ab, cnt
 
 
-def _mc_kernel(o_ref, d_ref, unif_ref, g1_ref, g2_ref, g3_ref, sph_ref,
-               mat_ref, mat_T_ref, light_ref,
+def _mc_kernel(o_ref, d_ref, unif_ref, order_ref, g1_ref, g2_ref, g3_ref,
+               sph_ref, mat_ref, mat_T_ref, light_ref,
                photon_ref, casts_ref, *scratch, blocked: bool, n_chunks: int,
                n_tri: int, n_sph: int,
                n_light: int, depth: int, max_distance: float,
@@ -242,7 +242,7 @@ def _mc_kernel(o_ref, d_ref, unif_ref, g1_ref, g2_ref, g3_ref, sph_ref,
     sph = sph_ref[:, :]
     if blocked:
         geom = kc.BlockedGeom(g1_ref, g2_ref, g3_ref, sph, n_tri, n_sph,
-                              n_chunks)
+                              n_chunks, order_ref=order_ref)
     else:
         geom = kc.DenseGeom(g1_ref[:, :], g2_ref[:, :], sph, n_tri, n_sph)
     mat_t = mat_ref[:, :]
@@ -347,10 +347,20 @@ def trace(scene: Scene, textures, ray_o, ray_d, unifs, depth: int,
                                    memory_space=pltpu.VMEM)
     npad = o_t.shape[1]
     g1, g1_spec, scratch_shapes = kc.stream_spec(g1, blocked)
+    # per-tile supergroup visit order from the PRIMARY origins' centroid
+    # (kc.sup_visit_order) — bounces drift from it, but the first casts
+    # dominate and any order is bit-exact; dense scenes get a dummy
+    if blocked:
+        pos = o_t.reshape(3, grid, tile)
+        cen = jnp.mean(pos, axis=2).T
+        order = kc.sup_visit_order(cen, g3)
+    else:
+        order = jnp.zeros((grid, 1), jnp.int32)
+    order, sord = kc.pack_sup_order(order)
     photon, casts = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[row(3), row(3), row(u_t.shape[0]),
+        in_specs=[row(3), row(3), row(u_t.shape[0]), sord,
                   g1_spec, const(g2), const(g3), const(sph), const(mat_t),
                   const(mat_T), const(lights)],
         out_specs=[row(3), row(1)],
@@ -360,6 +370,6 @@ def trace(scene: Scene, textures, ray_o, ray_d, unifs, depth: int,
         ],
         scratch_shapes=scratch_shapes,
         interpret=interpret,
-    )(o_t, d_t, u_t, g1, g2, g3, sph, mat_t, mat_T, lights)
+    )(o_t, d_t, u_t, order, g1, g2, g3, sph, mat_t, mat_T, lights)
 
     return photon[:, :n].T, jnp.sum(casts[0, :n])
