@@ -145,6 +145,31 @@ def _pad_to(clips: np.ndarray, multiple: int) -> Tuple[np.ndarray, int]:
     return clips, pad
 
 
+def sharded_clips(cfg: RenderConfig, multiple: int, block_order: bool):
+    """Clip grid for a sharded render: (clips [N+pad, 2], perm, inv).
+
+    Blocked (large-mesh) scenes get the SAME 32x16 block-major pixel
+    order the single-device path uses (render.py:_block_perm) so each
+    512-lane kernel tile covers a compact pixel block and the chunk-AABB
+    gates in the blocked sweeps actually prune — sharding splits the
+    block-ordered rows contiguously over dp, which keeps whole blocks on
+    one device.  perm/inv are None for dense scenes; otherwise
+    image_flat = sharded_flat[:n][inv] and sharded_flat[:n] =
+    image_flat[perm].  Padding rows sit at the tail (dead center rays).
+    """
+    from raytracer_tpu.render import _block_perm, clip_coords
+
+    clips = clip_coords(cfg.width, cfg.height)
+    perm = inv = None
+    if block_order:
+        perm = _block_perm(cfg.width, cfg.height)
+        clips = clips[perm]
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(perm.shape[0], dtype=perm.dtype)
+    clips, _pad = _pad_to(clips, multiple)
+    return clips, perm, inv
+
+
 @partial(jax.jit, static_argnums=(3, 4, 5))
 def _whitted_sharded(scene: Scene, camera: Camera, clips, textures,
                      cfg: RenderConfig, mesh: Mesh):
@@ -174,12 +199,15 @@ def render_whitted_sharded(
     every device traces a distinct slice of the frame (the stochastic pass
     re-uses the same mesh with sp as its sample axis)."""
     dp = mesh.shape["dp"] * mesh.shape["sp"]
-    clips, pad = _pad_to(clip_coords(cfg.width, cfg.height), dp)
+    clips, _perm, inv = sharded_clips(cfg, dp, scene.blk_perm is not None)
     color, casts, dropped = _whitted_sharded(
         scene, camera, jnp.asarray(clips), textures, cfg, mesh
     )
     n = cfg.width * cfg.height
-    img = color[:n].reshape(cfg.height, cfg.width, 3)
+    flat = color[:n]
+    if inv is not None:
+        flat = flat[inv]
+    img = flat.reshape(cfg.height, cfg.width, 3)
     return img, {
         "casts": int(casts),
         "dropped": int(dropped),
@@ -221,12 +249,15 @@ def render_mc_epoch_sharded(
 ):
     """One sample-parallel stochastic epoch: |sp| samples per pixel."""
     dp = mesh.shape["dp"]
-    clips, pad = _pad_to(clip_coords(cfg.width, cfg.height), dp)
+    clips, _perm, inv = sharded_clips(cfg, dp, scene.blk_perm is not None)
     photons, casts, filtered = _mc_epoch_sharded(
         scene, camera, jnp.asarray(clips), key, textures, cfg, mesh
     )
     n = cfg.width * cfg.height
-    img = photons[:n].reshape(cfg.height, cfg.width, 3)
+    flat = photons[:n]
+    if inv is not None:
+        flat = flat[inv]
+    img = flat.reshape(cfg.height, cfg.width, 3)
     return img, {
         "casts": int(casts),
         "filtered": int(filtered),

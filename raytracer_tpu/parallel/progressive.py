@@ -288,22 +288,32 @@ def render_progressive(
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from raytracer_tpu.parallel.mesh import (
-            _pad_to,
+            sharded_clips,
             train_step_sharded,
         )
-        from raytracer_tpu.render import clip_coords
 
-        clips_np, _pad = _pad_to(
-            clip_coords(cfg.width, cfg.height), mesh.shape["dp"]
+        clips_np, perm_s, inv_s = sharded_clips(
+            cfg, mesh.shape["dp"], scene.blk_perm is not None
         )
         dp_sharding = NamedSharding(mesh, P("dp"))
         clips_dev = jax.device_put(jnp.asarray(clips_np), dp_sharding)
         flat = jnp.asarray(state.img).reshape(-1, 3)
+        if perm_s is not None:
+            # blocked scenes: the sharded accumulator lives in the same
+            # 32x16 block-major pixel order as the clips (the percentile
+            # statistic is permutation-invariant); writes gather back
+            flat = flat[perm_s]
+        _pad = clips_np.shape[0] - flat.shape[0]
         if _pad:
             flat = jnp.concatenate(
                 [flat, jnp.zeros((_pad, 3), flat.dtype)], axis=0
             )
         accum = jax.device_put(flat, dp_sharding)
+
+        def to_image(flat_np):
+            """[npad(+), 3] device-layout rows -> [H, W, 3] image order."""
+            rows = flat_np[:n_pix] if inv_s is None else flat_np[inv_s]
+            return rows.reshape(cfg.height, cfg.width, 3)
     writer = _AsyncWriter()
     try:
         while state.epoch < cfg.epochs:
@@ -334,10 +344,7 @@ def render_progressive(
                 snap_img = None
                 if checkpoint_path:
                     # blocking: the next iteration donates `accum` away
-                    snap_img = (
-                        np.asarray(accum)[:n_pix]
-                        .reshape(cfg.height, cfg.width, 3)
-                    )
+                    snap_img = to_image(np.asarray(accum))
                 snap = ProgressiveState(img=snap_img, epoch=state.epoch,
                                         seed=state.seed)
 
@@ -356,10 +363,7 @@ def render_progressive(
                         f"{kept} rays in {dt * 1e3:.0f} ms "
                         f"({stats['casts'] / dt:,.0f} casts/s)"
                     )
-                    u8 = np.asarray(u8_dev)[:n_pix].reshape(
-                        cfg.height, cfg.width, 3
-                    )
-                    write_png_atomic(out_path, u8)
+                    write_png_atomic(out_path, to_image(np.asarray(u8_dev)))
                     if checkpoint_path:
                         save_checkpoint(checkpoint_path, snap)
                     if on_epoch:
@@ -423,9 +427,7 @@ def render_progressive(
     if mesh is not None and state.epoch > 0 and state.img is None:
         # materialize the final accumulator (held flat/sharded in `accum`)
         state = ProgressiveState(
-            img=jnp.asarray(np.asarray(accum)[:n_pix]).reshape(
-                cfg.height, cfg.width, 3
-            ),
+            img=jnp.asarray(to_image(np.asarray(accum))),
             epoch=state.epoch,
             seed=state.seed,
         )

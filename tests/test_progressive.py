@@ -177,6 +177,42 @@ def test_png_every_with_mesh_matches_per_epoch(tmp_path):
     assert close.mean() >= 0.95, f"only {close.mean():.3f} pixels agree"
 
 
+def test_progressive_mesh_blocked_resume_roundtrip(tmp_path):
+    """Sharded progressive driver on a BLOCKED scene: the dp-sharded
+    accumulator lives in 32x16 block-major order (parallel/mesh.
+    sharded_clips), so checkpoints/PNGs go through to_image (inv gather)
+    and resume goes back through flat[perm_s].  A 2-epoch run + resume to
+    4 must equal a straight 4-epoch run — any ordering bug scrambles the
+    resumed buffer and breaks this."""
+    from dataclasses import replace
+
+    from raytracer_tpu.parallel.mesh import make_render_mesh
+    from raytracer_tpu.scene.presets import mesh_scene
+
+    scene, textures, cam = mesh_scene(grid=4)
+    assert scene.blk_perm is not None  # really the blocked path
+    mesh = make_render_mesh(8)
+    cfg4 = RenderConfig(width=32, height=16, depth=2, epochs=4,
+                        tile_rays=512)
+    a = render_progressive(scene, textures, cam, cfg4,
+                           out_path=str(tmp_path / "a.png"), seed=7,
+                           log=lambda m: None, mesh=mesh)
+    ckpt = str(tmp_path / "ck.npz")
+    render_progressive(scene, textures, cam, replace(cfg4, epochs=2),
+                       out_path=str(tmp_path / "b.png"), seed=7,
+                       log=lambda m: None, mesh=mesh, checkpoint_path=ckpt)
+    logs = []
+    b = render_progressive(scene, textures, cam, cfg4,
+                           out_path=str(tmp_path / "b.png"), seed=7,
+                           log=logs.append, mesh=mesh, checkpoint_path=ckpt)
+    assert logs[0] == "resumed at epoch 2"
+    assert a.epoch == b.epoch == 4
+    np.testing.assert_allclose(
+        np.asarray(b.img), np.asarray(a.img), atol=1e-6, rtol=1e-6
+    )
+    assert np.isfinite(np.asarray(b.img)).all()
+
+
 def test_png_every_blocked_scene_tile_order(tmp_path):
     """Blocked scenes tile their clips in 32x16 block order, so the group
     path's carried accumulator is PERMUTED relative to image order — this
