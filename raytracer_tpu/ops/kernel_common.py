@@ -21,6 +21,8 @@ the semantic reference; tests/test_kernel_common.py compares row-by-row.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -995,6 +997,10 @@ def _box_rows(boxes8_ref, ci):
     return boxes8_ref[pl.ds(ci * 8, 8), :]
 
 
+# A/B switch for the distance-ordered supergroup traversal (see _sup_at).
+_SUP_ORDER = os.environ.get("RT_SUP_ORDER", "1") != "0"
+
+
 def _sup_at(order_ref, k):
     """Supergroup index for outer-loop step k.
 
@@ -1010,8 +1016,12 @@ def _sup_at(order_ref, k):
 
     The ref is an 8-row SMEM window (pack_sup_order): Mosaic requires
     SMEM block sublane dims divisible by 8, so each kernel tile sees the
-    8-row group containing its own row and picks it by program_id % 8."""
-    if order_ref is None:
+    8-row group containing its own row and picks it by program_id % 8.
+
+    RT_SUP_ORDER=0 (env, read at import) ignores the order and visits
+    sequentially — an A/B switch for benchmarking the heuristic, safe
+    because results are order-independent."""
+    if order_ref is None or not _SUP_ORDER:
         return k
     return order_ref[pl.program_id(0) % 8, k]
 

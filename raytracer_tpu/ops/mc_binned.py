@@ -29,6 +29,7 @@ sequence and the photons match the mega-kernel lane for lane
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -49,6 +50,13 @@ _INT_ROWS = mp._ST_INT
 # dispatch wins (sort overhead > gating savings on small chunk tables).
 # Tuned on the real chip: see docs/PERF.md "Large-mesh MC".
 BINNED_MIN_TRIS = 4096
+
+# Kernel tile width (lanes) for the binned bounce kernels.  Narrower tiles
+# than the global TILE_R pay more grid steps but see a SINGLE
+# (origin-cell, direction-octant) sort group per tile, so the chunk/
+# supergroup gates fire far more often on scattered bounce rays.  Tuned on
+# the real chip (docs/PERF.md "Large-mesh MC"); RT_BINNED_TILE overrides.
+BINNED_TILE = int(os.environ.get("RT_BINNED_TILE", 0)) or None
 
 
 def _iload(ref_or_arr, r):
@@ -281,7 +289,7 @@ def trace(scene: Scene, textures, ray_o, ray_d, unifs, depth: int,
     """
     assert scene.blk_perm is not None and scene.n_tri > 0
     n = ray_o.shape[0]
-    tile = min(TILE_R, max(128, -(-n // 128) * 128))
+    tile = min(BINNED_TILE or TILE_R, max(128, -(-n // 128) * 128))
     n_pad = (-n) % tile
     npad = n + n_pad
     grid = npad // tile

@@ -20,6 +20,8 @@ def main() -> int:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--depth", type=int, default=5)
     ap.add_argument("--size", type=int, default=1024)
+    ap.add_argument("--mc-only", action="store_true",
+                    help="skip the whitted frames (MC-epoch tuning sweeps)")
     args = ap.parse_args()
 
     from raytracer_tpu.utils.cache import enable_compile_cache
@@ -41,6 +43,25 @@ def main() -> int:
     for grid in (int(g) for g in args.grids.split(",")):
         scene, tex, cam = mesh_scene(grid=grid)
         tag = f"mesh{scene.n_tri // 1000}k"
+        if args.mc_only:
+            t0 = time.time()
+            ph, _ = render_distributed_epoch(scene, tex, cam, cfg, key)
+            ph.block_until_ready()
+            print(f"{tag} epoch compile+first: {time.time() - t0:.1f}s",
+                  flush=True)
+            best = 1e9
+            for _ in range(args.reps):
+                t0 = time.time()
+                ph, estats = render_distributed_epoch(scene, tex, cam, cfg,
+                                                      key)
+                ph.block_until_ready()
+                best = min(best, time.time() - t0)
+            out[f"{tag}_mc_epoch_seconds"] = round(best, 4)
+            out[f"{tag}_mc_mrays"] = round(estats["casts"] / best / 1e6, 2)
+            print(f"{tag} MC epoch: {best * 1e3:.0f} ms, "
+                  f"{out[f'{tag}_mc_mrays']} Mrays/s", flush=True)
+            out[f"{tag}_tris"] = int(scene.n_tri)
+            continue
         t0 = time.time()
         img, _ = render_whitted(scene, tex, cam, cfg)
         img.block_until_ready()
