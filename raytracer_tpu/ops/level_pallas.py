@@ -304,7 +304,7 @@ def process_level(scene: Scene, textures, pool_packed, last: bool,
     # alive-origin centroid, kc.sup_visit_order) so the blocked sweeps'
     # tmax prunes the chunks behind the first hits; dense scenes get a
     # 1-column dummy the kernel never reads
-    if blocked:
+    if blocked and kc._SUP_ORDER:
         alive_row = jax.lax.bitcast_convert_type(
             pp[ROW_ALIVE : ROW_ALIVE + 1], jnp.int32
         ) != 0

@@ -319,6 +319,9 @@ def trace(scene: Scene, textures, ray_o, ray_d, unifs, depth: int,
         return (jnp.sum(pos * w[None], axis=2) / cnt[None]).T
 
     def state_order(state):
+        if not kc._SUP_ORDER:
+            order, _ = kc.pack_sup_order(jnp.zeros((grid, 1), jnp.int32))
+            return order
         alive = jax.lax.bitcast_convert_type(
             state[mp.ST_ALIVE : mp.ST_ALIVE + 1], jnp.int32
         ) != 0
@@ -341,11 +344,14 @@ def trace(scene: Scene, textures, ray_o, ray_d, unifs, depth: int,
 
     # --- primary cast ---
     o_t, d_t = prep(ray_o), prep(ray_d)
-    order0, sord = kc.pack_sup_order(kc.sup_visit_order(
-        tile_centroids(o_t.reshape(3, grid, tile),
-                       jnp.ones((grid, tile), jnp.float32)),
-        g3,
-    ))
+    if kc._SUP_ORDER:
+        order0, sord = kc.pack_sup_order(kc.sup_visit_order(
+            tile_centroids(o_t.reshape(3, grid, tile),
+                           jnp.ones((grid, tile), jnp.float32)),
+            g3,
+        ))
+    else:
+        order0, sord = kc.pack_sup_order(jnp.zeros((grid, 1), jnp.int32))
     pk = functools.partial(_primary_kernel, n_chunks=n_chunks,
                            n_tri=scene.n_tri, n_sph=scene.n_sph)
     state, casts0 = pl.pallas_call(

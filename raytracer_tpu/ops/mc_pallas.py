@@ -350,7 +350,7 @@ def trace(scene: Scene, textures, ray_o, ray_d, unifs, depth: int,
     # per-tile supergroup visit order from the PRIMARY origins' centroid
     # (kc.sup_visit_order) — bounces drift from it, but the first casts
     # dominate and any order is bit-exact; dense scenes get a dummy
-    if blocked:
+    if blocked and kc._SUP_ORDER:
         pos = o_t.reshape(3, grid, tile)
         cen = jnp.mean(pos, axis=2).T
         order = kc.sup_visit_order(cen, g3)
