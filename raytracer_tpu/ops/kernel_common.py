@@ -893,7 +893,27 @@ def sup_visit_order(cen, sup8) -> jnp.ndarray:
         cen[:, None, :] - hi[None, :, :], 0.0
     )
     dist = jnp.sum(d * d, axis=-1)
-    return jnp.argsort(dist, axis=1).astype(jnp.int32)
+    # O(NSUP^2) vectorized stable rank instead of jnp.argsort: XLA's
+    # variadic sort on TPU cost ~24 ms PER LAUNCH at [2048, 11] (measured
+    # r4: it regressed the 11k whitted frame 286 -> 522 ms through the
+    # ~10 level calls), while NSUP <= ~64 makes the pairwise-comparison
+    # rank a few-microsecond elementwise reduce.  rank[g,j] = position of
+    # supergroup j in the visit order (ties broken by index, matching a
+    # stable argsort); order[g,k] = sum_j j * (rank[g,j] == k).
+    nsup = dist.shape[1]
+    di = dist[:, :, None]  # [G, j, 1]
+    dj = dist[:, None, :]  # [G, 1, j']
+    jlt = (jnp.arange(nsup)[:, None] > jnp.arange(nsup)[None, :])  # j > j'
+    before = (dj < di) | ((dj == di) & jlt[None, :, :])
+    rank = jnp.sum(before.astype(jnp.int32), axis=2)  # [G, NSUP]
+    ks = jnp.arange(nsup, dtype=jnp.int32)
+    onehot = rank[:, :, None] == ks[None, None, :]  # [G, j, k]
+    order = jnp.sum(
+        jnp.where(onehot, jnp.arange(nsup, dtype=jnp.int32)[None, :, None],
+                  0),
+        axis=1,
+    )
+    return order.astype(jnp.int32)
 
 
 def _slab_rows(box, ox, oy, oz, inv_dx, inv_dy, inv_dz, tmax):
@@ -1000,8 +1020,48 @@ def _box_rows(boxes8_ref, ci):
 # A/B switch for the distance-ordered supergroup traversal (see _sup_at).
 _SUP_ORDER = os.environ.get("RT_SUP_ORDER", "1") != "0"
 
+# Lane-subgroup gating width for the blocked chunk bodies (see _subgate).
+# The slab gates decide chunk entry per KERNEL TILE (any of R lanes), but
+# after the between-bounce sort a tile's lanes span several coherence
+# groups — often only a quarter of the tile actually enters a given
+# chunk.  Sub-gating runs the ~70-op triangle test per SUB_W-lane slice
+# under its own lax.cond, so the slices that miss the box skip the body;
+# results are bit-identical (a slice whose lanes all fail the slab test
+# provably contains no winner — same argument as the chunk gate).  The
+# chunk DMA and slab test stay at tile level, so HBM streaming cost is
+# unchanged.  0 disables (RT_SUBGATE env, read at import).
+_SUB_W = int(os.environ.get("RT_SUBGATE", "128"))
 
-def _sup_at(order_ref, k):
+
+def _subgate(hit_box, ins, body, carry):
+    """Run `body(ins_slice, carry_slice) -> carry_slice` per SUB_W-lane
+    subgroup, gated on any(hit_box) within the slice; pass-through when
+    gated off.  ins/carry: dicts of [rows, R] arrays; returns the updated
+    carry (lane slices re-concatenated).  The caller must already have
+    gated the whole-tile entry (the chunk lax.cond), so the fallback —
+    sub-gating disabled or R too narrow to split — is one ungated
+    full-width call."""
+    r = hit_box.shape[1]
+    if not _SUB_W or r <= _SUB_W:
+        return body(ins, carry)
+    n_sub = r // _SUB_W
+    parts = []
+    for s in range(n_sub):
+        sl = lambda a: jax.lax.slice_in_dim(
+            a, s * _SUB_W, (s + 1) * _SUB_W, axis=1
+        )
+        ins_s = {k: sl(v) for k, v in ins.items()}
+        parts.append(jax.lax.cond(
+            jnp.any(sl(hit_box)),
+            lambda c, i=ins_s: body(i, c),
+            lambda c: c,
+            {k: sl(v) for k, v in carry.items()},
+        ))
+    return {k: jnp.concatenate([p[k] for p in parts], axis=1)
+            for k in carry}
+
+
+def _sup_at(order_ref, k, row8):
     """Supergroup index for outer-loop step k.
 
     order_ref is an optional per-kernel-tile [1, NSUP] i32 SMEM row giving
@@ -1016,14 +1076,26 @@ def _sup_at(order_ref, k):
 
     The ref is an 8-row SMEM window (pack_sup_order): Mosaic requires
     SMEM block sublane dims divisible by 8, so each kernel tile sees the
-    8-row group containing its own row and picks it by program_id % 8.
+    8-row group containing its own row and picks it by `row8` =
+    program_id % 8 — computed ONCE by `_order_row` at kernel top level,
+    NOT here: this runs inside fori_loop/cond bodies, and interpret mode
+    (the CPU test path) only rewrites `program_id` in the kernel's
+    top-level jaxpr.
 
     RT_SUP_ORDER=0 (env, read at import) ignores the order and visits
     sequentially — an A/B switch for benchmarking the heuristic, safe
     because results are order-independent."""
-    if order_ref is None or not _SUP_ORDER:
+    if order_ref is None or row8 is None:
         return k
-    return order_ref[pl.program_id(0) % 8, k]
+    return order_ref[row8, k]
+
+
+def _order_row(order_ref):
+    """Per-tile row index into the 8-row SMEM order window, or None when
+    ordering is off.  Must be called at kernel top level (see _sup_at)."""
+    if order_ref is None or not _SUP_ORDER:
+        return None
+    return pl.program_id(0) % 8
 
 
 def pack_sup_order(order: jnp.ndarray):
@@ -1042,7 +1114,8 @@ def pack_sup_order(order: jnp.ndarray):
 
 def blocked_full_sweep(o, d, face, excl_prim, excl_face, active,
                        tblk_ref, boxes8_ref, sup8_ref, sph, n_tri: int,
-                       n_sph: int, n_chunks: int, order_ref=None):
+                       n_sph: int, n_chunks: int, order_ref=None,
+                       row8=None):
     """Nearest hit with all attributes over the blocked layout.
 
     Semantics identical to `full_sweep` (== ops/intersect.cast): face
@@ -1063,87 +1136,99 @@ def blocked_full_sweep(o, d, face, excl_prim, excl_face, active,
               idf=jnp.full(shape, -1.0, jnp.float32),
               bf=zf, nx=zf, ny=zf, nz=zf, u=zf, v=zf, obj=zf)
 
+    ins = dict(ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz, face=face,
+               ep=excl_prim, ef=excl_face, act=active)
+
     def chunk(ci, st):
         box = _box_rows(boxes8_ref, ci)
         hit_box = _slab_rows(box, ox, oy, oz, inv_dx, inv_dy, inv_dz,
                              st["t"]) & active
 
-        def run(st):
-            rows = _chunk_rows(tblk_ref, ci)
+        def enter(st):
+            rows = _chunk_rows(tblk_ref, ci)  # once per tile, not per sub
             fn0, fn1, fn2 = rows[:, 0:1], rows[:, 1:2], rows[:, 2:3]
             dpl = rows[:, 3:4]
             ids = rows[:, 34:35]
             ids_i = ids.astype(jnp.int32)
-            no_d = fn0 * dx + fn1 * dy + fn2 * dz
-            backface = no_d > 0.0
-            cull = (backface & (face == FACE_FRONT)) | (
-                (~backface) & (face == FACE_BACK)
-            )
-            t = (dpl - (fn0 * ox + fn1 * oy + fn2 * oz)) / no_d
-            excl = (excl_prim == ids_i) & _excl_crit(excl_face, backface)
-            ok = active & ~cull & ~excl & (t > 0.0)
-            for e in range(3):
-                g0 = rows[:, 4 + 3 * e : 5 + 3 * e]
-                g1 = rows[:, 5 + 3 * e : 6 + 3 * e]
-                g2 = rows[:, 6 + 3 * e : 7 + 3 * e]
-                h = rows[:, 13 + e : 14 + e]
-                og = g0 * ox + g1 * oy + g2 * oz
-                dg = g0 * dx + g1 * dy + g2 * dz
-                ok = ok & (og + h + t * dg >= 0.0)
-            ok = ok & jnp.isfinite(t)
-            tm = jnp.where(ok, t, _BIG)
-            t_min = jnp.min(tm, axis=0, keepdims=True)
-            win = jnp.max(jnp.where(tm == t_min, ids, -1.0), axis=0,
-                          keepdims=True)
-            found = t_min < _BIG
-            better = found & (
-                (t_min < st["t"]) | ((t_min == st["t"]) & (win > st["idf"]))
-            )
-            # ids are unique within a chunk, so the id match alone is
-            # one-hot for found lanes (not-found lanes are gated off).
-            oh = (ids == win).astype(jnp.float32)
-            cols = jax.lax.dot_general(
-                rows, oh, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            col = lambda c: cols[c : c + 1, :]
-            bfw = jnp.sum(oh * backface.astype(jnp.float32), axis=0,
-                          keepdims=True)
-            px = ox + t_min * dx
-            py = oy + t_min * dy
-            pz = oz + t_min * dz
-            area2 = col(31)
-            inv_a2 = 1.0 / jnp.where(area2 != 0.0, area2, 1.0)
-            nx = zf
-            ny = zf
-            nz = zf
-            u = zf
-            v = zf
-            for e in range(3):
-                gx, gy, gz = col(4 + 3 * e), col(5 + 3 * e), col(6 + 3 * e)
-                h = col(13 + e)
-                bary = (gx * px + gy * py + gz * pz + h) * inv_a2
-                nx = nx + bary * col(16 + 3 * e)
-                ny = ny + bary * col(17 + 3 * e)
-                nz = nz + bary * col(18 + 3 * e)
-                u = u + bary * col(25 + 2 * e)
-                v = v + bary * col(26 + 2 * e)
-            flip = jnp.where(bfw != 0.0, -1.0, 1.0)
-            upd = lambda new, old: jnp.where(better, new, old)
-            return dict(
-                t=upd(t_min, st["t"]), idf=upd(win, st["idf"]),
-                bf=upd(bfw, st["bf"]),
-                nx=upd(nx * flip, st["nx"]), ny=upd(ny * flip, st["ny"]),
-                nz=upd(nz * flip, st["nz"]),
-                u=upd(u, st["u"]), v=upd(v, st["v"]),
-                obj=upd(col(32), st["obj"]),
-            )
 
-        return jax.lax.cond(jnp.any(hit_box), run, lambda s: s, st)
+            def body(i, st):
+                iox, ioy, ioz = i["ox"], i["oy"], i["oz"]
+                idx, idy, idz = i["dx"], i["dy"], i["dz"]
+                no_d = fn0 * idx + fn1 * idy + fn2 * idz
+                backface = no_d > 0.0
+                cull = (backface & (i["face"] == FACE_FRONT)) | (
+                    (~backface) & (i["face"] == FACE_BACK)
+                )
+                t = (dpl - (fn0 * iox + fn1 * ioy + fn2 * ioz)) / no_d
+                excl = (i["ep"] == ids_i) & _excl_crit(i["ef"], backface)
+                ok = i["act"] & ~cull & ~excl & (t > 0.0)
+                for e in range(3):
+                    g0 = rows[:, 4 + 3 * e : 5 + 3 * e]
+                    g1 = rows[:, 5 + 3 * e : 6 + 3 * e]
+                    g2 = rows[:, 6 + 3 * e : 7 + 3 * e]
+                    h = rows[:, 13 + e : 14 + e]
+                    og = g0 * iox + g1 * ioy + g2 * ioz
+                    dg = g0 * idx + g1 * idy + g2 * idz
+                    ok = ok & (og + h + t * dg >= 0.0)
+                ok = ok & jnp.isfinite(t)
+                tm = jnp.where(ok, t, _BIG)
+                t_min = jnp.min(tm, axis=0, keepdims=True)
+                win = jnp.max(jnp.where(tm == t_min, ids, -1.0), axis=0,
+                              keepdims=True)
+                found = t_min < _BIG
+                better = found & (
+                    (t_min < st["t"])
+                    | ((t_min == st["t"]) & (win > st["idf"]))
+                )
+                # ids are unique within a chunk, so the id match alone is
+                # one-hot for found lanes (not-found lanes are gated off).
+                oh = (ids == win).astype(jnp.float32)
+                cols = jax.lax.dot_general(
+                    rows, oh, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                col = lambda c: cols[c : c + 1, :]
+                bfw = jnp.sum(oh * backface.astype(jnp.float32), axis=0,
+                              keepdims=True)
+                px = iox + t_min * idx
+                py = ioy + t_min * idy
+                pz = ioz + t_min * idz
+                area2 = col(31)
+                inv_a2 = 1.0 / jnp.where(area2 != 0.0, area2, 1.0)
+                z = jnp.zeros_like(t_min)
+                nx = z
+                ny = z
+                nz = z
+                u = z
+                v = z
+                for e in range(3):
+                    gx, gy, gz = (col(4 + 3 * e), col(5 + 3 * e),
+                                  col(6 + 3 * e))
+                    h = col(13 + e)
+                    bary = (gx * px + gy * py + gz * pz + h) * inv_a2
+                    nx = nx + bary * col(16 + 3 * e)
+                    ny = ny + bary * col(17 + 3 * e)
+                    nz = nz + bary * col(18 + 3 * e)
+                    u = u + bary * col(25 + 2 * e)
+                    v = v + bary * col(26 + 2 * e)
+                flip = jnp.where(bfw != 0.0, -1.0, 1.0)
+                upd = lambda new, old: jnp.where(better, new, old)
+                return dict(
+                    t=upd(t_min, st["t"]), idf=upd(win, st["idf"]),
+                    bf=upd(bfw, st["bf"]),
+                    nx=upd(nx * flip, st["nx"]), ny=upd(ny * flip, st["ny"]),
+                    nz=upd(nz * flip, st["nz"]),
+                    u=upd(u, st["u"]), v=upd(v, st["v"]),
+                    obj=upd(col(32), st["obj"]),
+                )
+
+            return _subgate(hit_box, ins, body, st)
+
+        return jax.lax.cond(jnp.any(hit_box), enter, lambda s: s, st)
 
     def sup(k, st):
-        si = _sup_at(order_ref, k)
+        si = _sup_at(order_ref, k, row8)
         sbox = _box_rows(sup8_ref, si)
         hit_sup = _slab_rows(sbox, ox, oy, oz, inv_dx, inv_dy, inv_dz,
                              st["t"]) & active
@@ -1246,7 +1331,7 @@ class _BlockedShadowSweep:
 
     def __init__(self, px, py, pz, not_self_excl, tblk_ref, boxes8_ref,
                  sup8_ref, sph, n_tri: int, n_sph: int, n_chunks: int,
-                 order_ref=None):
+                 order_ref=None, row8=None):
         self.px, self.py, self.pz = px, py, pz
         self.not_self = not_self_excl
         self.tblk_ref, self.boxes8_ref = tblk_ref, boxes8_ref
@@ -1254,6 +1339,7 @@ class _BlockedShadowSweep:
         self.sph = sph
         self.n_tri, self.n_sph, self.n_chunks = n_tri, n_sph, n_chunks
         self.order_ref = order_ref
+        self.row8 = row8
         if n_sph > 0:
             cx, cy, cz = sph[:, 0:1], sph[:, 1:2], sph[:, 2:3]
             self.wx, self.wy, self.wz = cx - px, cy - py, cz - pz
@@ -1289,72 +1375,93 @@ class _BlockedShadowSweep:
         if self.n_tri > 0:
             invs = [(1.0 / dx, 1.0 / dy, 1.0 / dz)
                     for dx, dy, dz, _, _ in rays]
+            L_keys = [f"o{l}" for l in range(L)]
+
+            ins = dict(px=px, py=py, pz=pz, ns=self.not_self)
+            for l, (dx, dy, dz, limit, act) in enumerate(rays):
+                ins[f"dx{l}"], ins[f"dy{l}"], ins[f"dz{l}"] = dx, dy, dz
+                ins[f"lim{l}"], ins[f"act{l}"] = limit, act
 
             def pend_hits(ci_box, outs):
+                """Per-light pending masks + the union hit-row."""
                 pend, hits = [], []
                 for l, (dx, dy, dz, limit, act) in enumerate(rays):
-                    p = act & (outs[l] == 0)
+                    p = act & (outs[L_keys[l]] == 0)
                     pend.append(p)
                     hits.append(_slab_rows(ci_box, px, py, pz, *invs[l],
                                            limit) & p)
                 enter = hits[0]
                 for h in hits[1:]:
                     enter = enter | h
-                return pend, jnp.any(enter)
+                return pend, enter
 
             def chunk(ci, outs):
                 box = _box_rows(self.boxes8_ref, ci)
-                pend, enter = pend_hits(box, outs)
+                _, enter_row = pend_hits(box, outs)
 
-                def run(outs):
+                def enter(outs):
                     rows = _chunk_rows(self.tblk_ref, ci)
                     fn0, fn1, fn2 = rows[:, 0:1], rows[:, 1:2], rows[:, 2:3]
                     dpl = rows[:, 3:4]
                     ids_i = rows[:, 34:35].astype(jnp.int32)
-                    not_self = self.not_self != ids_i
-                    o_fn = fn0 * px + fn1 * py + fn2 * pz
-                    eg, og = [], []
-                    for e in range(3):
-                        g0 = rows[:, 4 + 3 * e : 5 + 3 * e]
-                        g1 = rows[:, 5 + 3 * e : 6 + 3 * e]
-                        g2 = rows[:, 6 + 3 * e : 7 + 3 * e]
-                        h = rows[:, 13 + e : 14 + e]
-                        eg.append((g0, g1, g2))
-                        og.append(g0 * px + g1 * py + g2 * pz + h)
-                    new = []
-                    for l, (dx, dy, dz, limit, _) in enumerate(rays):
-                        no_d = fn0 * dx + fn1 * dy + fn2 * dz
-                        t = (dpl - o_fn) / no_d
-                        ok = (no_d > 0.0) & (t > 0.0) & not_self
-                        for e in range(3):
-                            g0, g1, g2 = eg[e]
-                            ok = ok & (og[e]
-                                       + t * (g0 * dx + g1 * dy + g2 * dz)
-                                       >= 0.0)
-                        ok = ok & pend[l] & jnp.isfinite(t) & (t < limit)
-                        new.append(outs[l] | jnp.any(
-                            ok, axis=0, keepdims=True).astype(jnp.int32))
-                    return new
 
-                return jax.lax.cond(enter, run, lambda o: o, outs)
+                    def body(i, outs):
+                        ipx, ipy, ipz = i["px"], i["py"], i["pz"]
+                        not_self = i["ns"] != ids_i
+                        o_fn = fn0 * ipx + fn1 * ipy + fn2 * ipz
+                        eg, og = [], []
+                        for e in range(3):
+                            g0 = rows[:, 4 + 3 * e : 5 + 3 * e]
+                            g1 = rows[:, 5 + 3 * e : 6 + 3 * e]
+                            g2 = rows[:, 6 + 3 * e : 7 + 3 * e]
+                            h = rows[:, 13 + e : 14 + e]
+                            eg.append((g0, g1, g2))
+                            og.append(g0 * ipx + g1 * ipy + g2 * ipz + h)
+                        new = {}
+                        for l in range(L):
+                            dx, dy, dz = i[f"dx{l}"], i[f"dy{l}"], i[f"dz{l}"]
+                            limit = i[f"lim{l}"]
+                            p = i[f"act{l}"] & (outs[L_keys[l]] == 0)
+                            no_d = fn0 * dx + fn1 * dy + fn2 * dz
+                            t = (dpl - o_fn) / no_d
+                            ok = (no_d > 0.0) & (t > 0.0) & not_self
+                            for e in range(3):
+                                g0, g1, g2 = eg[e]
+                                ok = ok & (og[e]
+                                           + t * (g0 * dx + g1 * dy
+                                                  + g2 * dz)
+                                           >= 0.0)
+                            ok = ok & p & jnp.isfinite(t) & (t < limit)
+                            new[L_keys[l]] = outs[L_keys[l]] | jnp.any(
+                                ok, axis=0, keepdims=True).astype(jnp.int32)
+                        return new
+
+                    return _subgate(enter_row, ins, body, outs)
+
+                return jax.lax.cond(jnp.any(enter_row), enter,
+                                    lambda o: o, outs)
 
             def sup(k, outs):
                 # front-to-back order finds occluders early, so later
                 # chunks see fewer pending lanes and gate off (any-hit:
                 # result is order-independent)
-                si = _sup_at(self.order_ref, k)
+                si = _sup_at(self.order_ref, k, self.row8)
                 sbox = _box_rows(self.sup8_ref, si)
-                _, enter = pend_hits(sbox, outs)
+                _, enter_row = pend_hits(sbox, outs)
 
                 def descend(outs):
                     for j in range(SUP_CHUNKS):
                         outs = chunk(si * SUP_CHUNKS + j, outs)
                     return outs
 
-                return jax.lax.cond(enter, descend, lambda o: o, outs)
+                return jax.lax.cond(jnp.any(enter_row), descend,
+                                    lambda o: o, outs)
 
-            outs = jax.lax.fori_loop(0, self.n_chunks // SUP_CHUNKS, sup,
-                                     outs)
+            outs_d = jax.lax.fori_loop(
+                0, self.n_chunks // SUP_CHUNKS, sup,
+                {k: o for k, o in zip(L_keys, outs)},
+            )
+            outs = [outs_d[k] for k in L_keys]
         if self.n_sph > 0:
             sph = self.sph
             r2 = sph[:, 3:4]
@@ -1376,7 +1483,7 @@ class _BlockedShadowSweep:
 
 def blocked_back_sweep(px, py, pz, dx, dy, dz, active, tblk_ref, boxes8_ref,
                        sup8_ref, sph, n_tri: int, n_sph: int, n_chunks: int,
-                       order_ref=None):
+                       order_ref=None, row8=None):
     """Blocked-layout interior sweep: nearest BACKFACE hit + flipped
     interpolated normal (the large-mesh `back_sweep_with_normal`).
 
@@ -1391,68 +1498,79 @@ def blocked_back_sweep(px, py, pz, dx, dy, dz, active, tblk_ref, boxes8_ref,
               idf=jnp.full(shape, -1.0, jnp.float32),
               nx=zf, ny=zf, nz=zf)
 
+    ins = dict(px=px, py=py, pz=pz, dx=dx, dy=dy, dz=dz, act=active)
+
     def chunk(ci, st):
         box = _box_rows(boxes8_ref, ci)
         hit_box = _slab_rows(box, px, py, pz, inv_dx, inv_dy, inv_dz,
                              st["t"]) & active
 
-        def run(st):
-            rows = _chunk_rows(tblk_ref, ci)
+        def enter(st):
+            rows = _chunk_rows(tblk_ref, ci)  # once per tile, not per sub
             fn0, fn1, fn2 = rows[:, 0:1], rows[:, 1:2], rows[:, 2:3]
             dpl = rows[:, 3:4]
             ids = rows[:, 34:35]
-            no_d = fn0 * dx + fn1 * dy + fn2 * dz
-            t = (dpl - (fn0 * px + fn1 * py + fn2 * pz)) / no_d
-            ok = (no_d > 0.0) & (t > 0.0)
-            for e in range(3):
-                g0 = rows[:, 4 + 3 * e : 5 + 3 * e]
-                g1 = rows[:, 5 + 3 * e : 6 + 3 * e]
-                g2 = rows[:, 6 + 3 * e : 7 + 3 * e]
-                h = rows[:, 13 + e : 14 + e]
-                og = g0 * px + g1 * py + g2 * pz
-                dg = g0 * dx + g1 * dy + g2 * dz
-                ok = ok & (og + h + t * dg >= 0.0)
-            ok = ok & active & jnp.isfinite(t)
-            tm = jnp.where(ok, t, _BIG)
-            t_min = jnp.min(tm, axis=0, keepdims=True)
-            win = jnp.max(jnp.where(tm == t_min, ids, -1.0), axis=0,
-                          keepdims=True)
-            found = t_min < _BIG
-            better = found & (
-                (t_min < st["t"]) | ((t_min == st["t"]) & (win > st["idf"]))
-            )
-            oh = (ids == win).astype(jnp.float32)
-            cols = jax.lax.dot_general(
-                rows, oh, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            col = lambda c: cols[c : c + 1, :]
-            hx = px + t_min * dx
-            hy = py + t_min * dy
-            hz = pz + t_min * dz
-            area2 = col(31)
-            inv_a2 = 1.0 / jnp.where(area2 != 0.0, area2, 1.0)
-            nx = zf
-            ny = zf
-            nz = zf
-            for e in range(3):
-                gx, gy, gz = col(4 + 3 * e), col(5 + 3 * e), col(6 + 3 * e)
-                h = col(13 + e)
-                bary = (gx * hx + gy * hy + gz * hz + h) * inv_a2
-                nx = nx + bary * col(16 + 3 * e)
-                ny = ny + bary * col(17 + 3 * e)
-                nz = nz + bary * col(18 + 3 * e)
-            upd = lambda new, old: jnp.where(better, new, old)
-            # backface hit: flipped
-            return dict(t=upd(t_min, st["t"]), idf=upd(win, st["idf"]),
-                        nx=upd(-nx, st["nx"]), ny=upd(-ny, st["ny"]),
-                        nz=upd(-nz, st["nz"]))
 
-        return jax.lax.cond(jnp.any(hit_box), run, lambda s: s, st)
+            def body(i, st):
+                ipx, ipy, ipz = i["px"], i["py"], i["pz"]
+                idx, idy, idz = i["dx"], i["dy"], i["dz"]
+                no_d = fn0 * idx + fn1 * idy + fn2 * idz
+                t = (dpl - (fn0 * ipx + fn1 * ipy + fn2 * ipz)) / no_d
+                ok = (no_d > 0.0) & (t > 0.0)
+                for e in range(3):
+                    g0 = rows[:, 4 + 3 * e : 5 + 3 * e]
+                    g1 = rows[:, 5 + 3 * e : 6 + 3 * e]
+                    g2 = rows[:, 6 + 3 * e : 7 + 3 * e]
+                    h = rows[:, 13 + e : 14 + e]
+                    og = g0 * ipx + g1 * ipy + g2 * ipz
+                    dg = g0 * idx + g1 * idy + g2 * idz
+                    ok = ok & (og + h + t * dg >= 0.0)
+                ok = ok & i["act"] & jnp.isfinite(t)
+                tm = jnp.where(ok, t, _BIG)
+                t_min = jnp.min(tm, axis=0, keepdims=True)
+                win = jnp.max(jnp.where(tm == t_min, ids, -1.0), axis=0,
+                              keepdims=True)
+                found = t_min < _BIG
+                better = found & (
+                    (t_min < st["t"])
+                    | ((t_min == st["t"]) & (win > st["idf"]))
+                )
+                oh = (ids == win).astype(jnp.float32)
+                cols = jax.lax.dot_general(
+                    rows, oh, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                col = lambda c: cols[c : c + 1, :]
+                hx = ipx + t_min * idx
+                hy = ipy + t_min * idy
+                hz = ipz + t_min * idz
+                area2 = col(31)
+                inv_a2 = 1.0 / jnp.where(area2 != 0.0, area2, 1.0)
+                z = jnp.zeros_like(t_min)
+                nx = z
+                ny = z
+                nz = z
+                for e in range(3):
+                    gx, gy, gz = (col(4 + 3 * e), col(5 + 3 * e),
+                                  col(6 + 3 * e))
+                    h = col(13 + e)
+                    bary = (gx * hx + gy * hy + gz * hz + h) * inv_a2
+                    nx = nx + bary * col(16 + 3 * e)
+                    ny = ny + bary * col(17 + 3 * e)
+                    nz = nz + bary * col(18 + 3 * e)
+                upd = lambda new, old: jnp.where(better, new, old)
+                # backface hit: flipped
+                return dict(t=upd(t_min, st["t"]), idf=upd(win, st["idf"]),
+                            nx=upd(-nx, st["nx"]), ny=upd(-ny, st["ny"]),
+                            nz=upd(-nz, st["nz"]))
+
+            return _subgate(hit_box, ins, body, st)
+
+        return jax.lax.cond(jnp.any(hit_box), enter, lambda s: s, st)
 
     def sup(k, st):
-        si = _sup_at(order_ref, k)
+        si = _sup_at(order_ref, k, row8)
         sbox = _box_rows(sup8_ref, si)
         hit_sup = _slab_rows(sbox, px, py, pz, inv_dx, inv_dy, inv_dz,
                              st["t"]) & active
@@ -1546,25 +1664,31 @@ class BlockedGeom:
     above)."""
 
     def __init__(self, tblk_ref, boxes8_ref, sup8_ref, sph, n_tri: int,
-                 n_sph: int, n_chunks: int, order_ref=None):
+                 n_sph: int, n_chunks: int, order_ref=None, row8=None):
         self.tblk_ref, self.boxes8_ref = tblk_ref, boxes8_ref
         self.sup8_ref = sup8_ref
         self.sph = sph
         self.n_tri, self.n_sph, self.n_chunks = n_tri, n_sph, n_chunks
         self.order_ref = order_ref
+        # program_id must be read ONCE at kernel top level: the sweeps run
+        # inside fori/while/cond bodies where interpret mode cannot lower
+        # the primitive (see _sup_at).  Kernels that build their geom
+        # inside a pl.when must hoist it themselves via _order_row and
+        # pass row8 here.
+        self.row8 = row8 if row8 is not None else _order_row(order_ref)
 
     def nearest(self, o, d, face, excl_prim, excl_face, active):
         return blocked_full_sweep(o, d, face, excl_prim, excl_face, active,
                                   self.tblk_ref, self.boxes8_ref,
                                   self.sup8_ref, self.sph,
                                   self.n_tri, self.n_sph, self.n_chunks,
-                                  order_ref=self.order_ref)
+                                  order_ref=self.order_ref, row8=self.row8)
 
     def shadow_sweep(self, px, py, pz, prim):
         return _BlockedShadowSweep(px, py, pz, prim, self.tblk_ref,
                                    self.boxes8_ref, self.sup8_ref, self.sph,
                                    self.n_tri, self.n_sph, self.n_chunks,
-                                   order_ref=self.order_ref)
+                                   order_ref=self.order_ref, row8=self.row8)
 
     def march(self, px, py, pz, nx, ny, nz, dx, dy, dz, k, want,
               max_distance: float, max_retries: int):
@@ -1573,7 +1697,8 @@ class BlockedGeom:
                                       self.tblk_ref, self.boxes8_ref,
                                       self.sup8_ref, self.sph, self.n_tri,
                                       self.n_sph, self.n_chunks,
-                                      order_ref=self.order_ref)
+                                      order_ref=self.order_ref,
+                                      row8=self.row8)
 
         return march_rows(px, py, pz, nx, ny, nz, dx, dy, dz, k, want,
                           None, self.sph, self.n_tri, self.n_sph,

@@ -86,6 +86,9 @@ def _level_kernel(pp_ref, order_ref, g1_ref, g2_ref, g3_ref, sph_ref,
     alive = _iload(pp_ref, ROW_ALIVE) != 0
     pend = (pp_ref[8:9, :], pp_ref[9:10, :], pp_ref[10:11, :])
     shape = (1, pp_ref.shape[1])
+    # program_id is only lowerable at kernel top level (kc._order_row);
+    # the pl.when bodies below must not read it themselves
+    row8 = kc._order_row(order_ref)
 
     # Compaction packs live groups to the FRONT of the pool, so a tile past
     # the live prefix has no rays to trace — skip its sweeps/shade/march
@@ -114,7 +117,7 @@ def _level_kernel(pp_ref, order_ref, g1_ref, g2_ref, g3_ref, sph_ref,
         _level_body(pp_ref, alive, pend, order_ref, g1_ref, g2_ref, g3_ref,
                     sph_ref, mat_ref, mat_T_ref, light_ref,
                     contrib_ref, rch_ref, fch_ref, casts_ref,
-                    last=last, direct=direct, blocked=blocked,
+                    row8=row8, last=last, direct=direct, blocked=blocked,
                     n_chunks=n_chunks, n_tri=n_tri, n_sph=n_sph,
                     n_light=n_light, threshold=threshold,
                     max_distance=max_distance, max_retries=max_retries,
@@ -124,8 +127,8 @@ def _level_kernel(pp_ref, order_ref, g1_ref, g2_ref, g3_ref, sph_ref,
 def _level_body(pp_ref, alive, pend, order_ref, g1_ref, g2_ref, g3_ref,
                 sph_ref, mat_ref, mat_T_ref, light_ref,
                 contrib_ref, rch_ref, fch_ref, casts_ref,
-                *, last, direct, blocked, n_chunks, n_tri, n_sph, n_light,
-                threshold, max_distance, max_retries, textures):
+                *, row8, last, direct, blocked, n_chunks, n_tri, n_sph,
+                n_light, threshold, max_distance, max_retries, textures):
     o = (pp_ref[0:1, :], pp_ref[1:2, :], pp_ref[2:3, :])
     d = (pp_ref[3:4, :], pp_ref[4:5, :], pp_ref[5:6, :])
     c = pp_ref[6:7, :]
@@ -136,7 +139,7 @@ def _level_body(pp_ref, alive, pend, order_ref, g1_ref, g2_ref, g3_ref,
     sph = sph_ref[:, :]
     if blocked:
         geom = kc.BlockedGeom(g1_ref, g2_ref, g3_ref, sph, n_tri, n_sph,
-                              n_chunks, order_ref=order_ref)
+                              n_chunks, order_ref=order_ref, row8=row8)
     else:
         geom = kc.DenseGeom(g1_ref[:, :], g2_ref[:, :], sph, n_tri, n_sph)
     mat_t = mat_ref[:, :]

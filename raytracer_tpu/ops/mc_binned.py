@@ -105,11 +105,11 @@ def _write_state(out_ref, st, slot_i32):
 
 
 def _geom_of(g1_ref, g2_ref, g3_ref, sph_ref, scratch, n_tri, n_sph,
-             n_chunks, order_ref=None):
+             n_chunks, order_ref=None, row8=None):
     if scratch:
         g1_ref = kc.ChunkTable(g1_ref, scratch[0], scratch[1])
     return kc.BlockedGeom(g1_ref, g2_ref, g3_ref, sph_ref[:, :], n_tri,
-                          n_sph, n_chunks, order_ref=order_ref)
+                          n_sph, n_chunks, order_ref=order_ref, row8=row8)
 
 
 def _primary_kernel(o_ref, d_ref, slot_ref, order_ref, g1_ref, g2_ref,
@@ -144,11 +144,14 @@ def _bounce_kernel(st_in_ref, unif_ref, order_ref, g1_ref, g2_ref, g3_ref,
                    max_retries: int, textures):
     """One mc_step bounce over a state tile; dead tiles pass through."""
     any_alive = jnp.any(_iload(st_in_ref, mp.ST_ALIVE) != 0)
+    # program_id is only lowerable at kernel top level (kc._order_row);
+    # the pl.when bodies below must not read it themselves
+    row8 = kc._order_row(order_ref)
 
     @pl.when(any_alive)
     def _run():
         geom = _geom_of(g1_ref, g2_ref, g3_ref, sph_ref, scratch, n_tri,
-                        n_sph, n_chunks, order_ref)
+                        n_sph, n_chunks, order_ref, row8)
         st = _st_from_rows(st_in_ref)
         new_st, dc = mp.mc_step(
             geom, mat_ref[:, :], mat_T_ref[:, :], light_ref[:, :], n_light,
@@ -171,11 +174,12 @@ def _terminal_kernel(st_ref, order_ref, g1_ref, g2_ref, g3_ref, sph_ref,
     """Depth-exhausted terminal shade (main.rs:524-527); photons come out
     in the CURRENT (sorted) lane order — the caller scatters by slot."""
     any_alive = jnp.any(_iload(st_ref, mp.ST_ALIVE) != 0)
+    row8 = kc._order_row(order_ref)  # top level only, see _bounce_kernel
 
     @pl.when(any_alive)
     def _run():
         geom = _geom_of(g1_ref, g2_ref, g3_ref, sph_ref, scratch, n_tri,
-                        n_sph, n_chunks, order_ref)
+                        n_sph, n_chunks, order_ref, row8)
         st = _st_from_rows(st_ref)
         ar, ag, ab, cnt = mp.mc_terminal(
             geom, mat_ref[:, :], mat_T_ref[:, :], light_ref[:, :], n_light,
