@@ -1018,7 +1018,27 @@ def _box_rows(boxes8_ref, ci):
 
 
 # A/B switch for the distance-ordered supergroup traversal (see _sup_at).
-_SUP_ORDER = os.environ.get("RT_SUP_ORDER", "1") != "0"
+# Measured on the real chip (2026-08-20, 11k terrain): the in-kernel
+# order indirection costs the whitted level ladder ~2x (286 -> 530 ms
+# frame — its primary/secondary tiles are already front-to-back coherent
+# in block order, so the order buys no pruning there) while the binned
+# per-bounce MC path WINS ~5-9% (846 vs 893 ms epoch; 51k: 1660 vs
+# 1817 ms — scattered bounce origins genuinely benefit).  So the default
+# is per kernel family: ON for the binned bounce kernels, OFF for the
+# level ladder and the whole-walk mega-kernel.  RT_SUP_ORDER=0/1 forces
+# all families off/on (the A/B knob used for those measurements).
+_SUP_ORDER = os.environ.get("RT_SUP_ORDER", "")
+_SUP_ORDER_DEFAULT = {"binned": True, "levels": False, "mega": False}
+
+
+def sup_order_on(family: str) -> bool:
+    """Is distance-ordered supergroup traversal enabled for this kernel
+    family ("binned" | "levels" | "mega")?"""
+    if _SUP_ORDER == "0":
+        return False
+    if _SUP_ORDER == "1":
+        return True
+    return _SUP_ORDER_DEFAULT[family]
 
 # Lane-subgroup gating width for the blocked chunk bodies (see _subgate).
 # The slab gates decide chunk entry per KERNEL TILE (any of R lanes), but
@@ -1030,7 +1050,15 @@ _SUP_ORDER = os.environ.get("RT_SUP_ORDER", "1") != "0"
 # provably contains no winner — same argument as the chunk gate).  The
 # chunk DMA and slab test stay at tile level, so HBM streaming cost is
 # unchanged.  0 disables (RT_SUBGATE env, read at import).
-_SUB_W = int(os.environ.get("RT_SUBGATE", "128"))
+#
+# DEFAULT OFF: on real-TPU Mosaic (measured 2026-08-20) the 128-lane
+# slice bodies fail to compile — `vector.broadcast (1x128) -> (128x128)`
+# with a replicated-sublane input layout inside the slice's lax.cond is
+# rejected ("Invalid input layout").  Interpret mode (the CPU test path)
+# accepts it, so the suite stays green while the knob exists; until the
+# Mosaic layout issue is fixed upstream the hardware path must not take
+# it by default.
+_SUB_W = int(os.environ.get("RT_SUBGATE", "0"))
 
 
 def _subgate(hit_box, ins, body, carry):
@@ -1090,10 +1118,11 @@ def _sup_at(order_ref, k, row8):
     return order_ref[row8, k]
 
 
-def _order_row(order_ref):
+def _order_row(order_ref, family: str = "binned"):
     """Per-tile row index into the 8-row SMEM order window, or None when
-    ordering is off.  Must be called at kernel top level (see _sup_at)."""
-    if order_ref is None or not _SUP_ORDER:
+    ordering is off for `family`.  Must be called at kernel top level
+    (see _sup_at)."""
+    if order_ref is None or not sup_order_on(family):
         return None
     return pl.program_id(0) % 8
 
@@ -1664,7 +1693,8 @@ class BlockedGeom:
     above)."""
 
     def __init__(self, tblk_ref, boxes8_ref, sup8_ref, sph, n_tri: int,
-                 n_sph: int, n_chunks: int, order_ref=None, row8=None):
+                 n_sph: int, n_chunks: int, order_ref=None, row8=None,
+                 family: str = "binned"):
         self.tblk_ref, self.boxes8_ref = tblk_ref, boxes8_ref
         self.sup8_ref = sup8_ref
         self.sph = sph
@@ -1674,8 +1704,10 @@ class BlockedGeom:
         # inside fori/while/cond bodies where interpret mode cannot lower
         # the primitive (see _sup_at).  Kernels that build their geom
         # inside a pl.when must hoist it themselves via _order_row and
-        # pass row8 here.
-        self.row8 = row8 if row8 is not None else _order_row(order_ref)
+        # pass row8 here (row8=None then means ordering-off for their
+        # family — the fallback below is only for top-level builders).
+        self.row8 = (row8 if row8 is not None
+                     else _order_row(order_ref, family))
 
     def nearest(self, o, d, face, excl_prim, excl_face, active):
         return blocked_full_sweep(o, d, face, excl_prim, excl_face, active,

@@ -88,7 +88,7 @@ def _level_kernel(pp_ref, order_ref, g1_ref, g2_ref, g3_ref, sph_ref,
     shape = (1, pp_ref.shape[1])
     # program_id is only lowerable at kernel top level (kc._order_row);
     # the pl.when bodies below must not read it themselves
-    row8 = kc._order_row(order_ref)
+    row8 = kc._order_row(order_ref, "levels")
 
     # Compaction packs live groups to the FRONT of the pool, so a tile past
     # the live prefix has no rays to trace — skip its sweeps/shade/march
@@ -139,7 +139,8 @@ def _level_body(pp_ref, alive, pend, order_ref, g1_ref, g2_ref, g3_ref,
     sph = sph_ref[:, :]
     if blocked:
         geom = kc.BlockedGeom(g1_ref, g2_ref, g3_ref, sph, n_tri, n_sph,
-                              n_chunks, order_ref=order_ref, row8=row8)
+                              n_chunks, order_ref=order_ref, row8=row8,
+                              family="levels")
     else:
         geom = kc.DenseGeom(g1_ref[:, :], g2_ref[:, :], sph, n_tri, n_sph)
     mat_t = mat_ref[:, :]
@@ -307,7 +308,7 @@ def process_level(scene: Scene, textures, pool_packed, last: bool,
     # alive-origin centroid, kc.sup_visit_order) so the blocked sweeps'
     # tmax prunes the chunks behind the first hits; dense scenes get a
     # 1-column dummy the kernel never reads
-    if blocked and kc._SUP_ORDER:
+    if blocked and kc.sup_order_on("levels"):
         alive_row = jax.lax.bitcast_convert_type(
             pp[ROW_ALIVE : ROW_ALIVE + 1], jnp.int32
         ) != 0

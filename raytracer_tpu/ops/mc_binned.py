@@ -323,7 +323,7 @@ def trace(scene: Scene, textures, ray_o, ray_d, unifs, depth: int,
         return (jnp.sum(pos * w[None], axis=2) / cnt[None]).T
 
     def state_order(state):
-        if not kc._SUP_ORDER:
+        if not kc.sup_order_on("binned"):
             order, _ = kc.pack_sup_order(jnp.zeros((grid, 1), jnp.int32))
             return order
         alive = jax.lax.bitcast_convert_type(
@@ -348,7 +348,7 @@ def trace(scene: Scene, textures, ray_o, ray_d, unifs, depth: int,
 
     # --- primary cast ---
     o_t, d_t = prep(ray_o), prep(ray_d)
-    if kc._SUP_ORDER:
+    if kc.sup_order_on("binned"):
         order0, sord = kc.pack_sup_order(kc.sup_visit_order(
             tile_centroids(o_t.reshape(3, grid, tile),
                            jnp.ones((grid, tile), jnp.float32)),

@@ -242,7 +242,7 @@ def _mc_kernel(o_ref, d_ref, unif_ref, order_ref, g1_ref, g2_ref, g3_ref,
     sph = sph_ref[:, :]
     if blocked:
         geom = kc.BlockedGeom(g1_ref, g2_ref, g3_ref, sph, n_tri, n_sph,
-                              n_chunks, order_ref=order_ref)
+                              n_chunks, order_ref=order_ref, family="mega")
     else:
         geom = kc.DenseGeom(g1_ref[:, :], g2_ref[:, :], sph, n_tri, n_sph)
     mat_t = mat_ref[:, :]
@@ -350,7 +350,7 @@ def trace(scene: Scene, textures, ray_o, ray_d, unifs, depth: int,
     # per-tile supergroup visit order from the PRIMARY origins' centroid
     # (kc.sup_visit_order) — bounces drift from it, but the first casts
     # dominate and any order is bit-exact; dense scenes get a dummy
-    if blocked and kc._SUP_ORDER:
+    if blocked and kc.sup_order_on("mega"):
         pos = o_t.reshape(3, grid, tile)
         cen = jnp.mean(pos, axis=2).T
         order = kc.sup_visit_order(cen, g3)

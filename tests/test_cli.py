@@ -5,8 +5,11 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 from raytracer_tpu.utils.png import read_png_rgb8
+
+pytestmark = pytest.mark.heavy  # subprocess renders recompile per process
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

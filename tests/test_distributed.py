@@ -69,6 +69,7 @@ def test_photon_filter_zeroes_nonnormal():
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_mc_estimator_mean_matches_oracle():
     """Means of the two estimators agree within MC error on a tiny image."""
     scene, textures = spheres_scene()
@@ -109,6 +110,7 @@ def test_mc_estimator_mean_matches_oracle():
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_mc_estimator_demo_glass_matches_oracle():
     """Estimator parity on the DEMO scene's dielectric pixels.
 

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from raytracer_tpu.config import RenderConfig
@@ -101,6 +102,7 @@ def test_train_step_sharded_full_epoch():
     assert abs(np.sort(valid)[int(len(valid) * 0.99)] - 1.0) < 1e-3
 
 
+@pytest.mark.heavy
 def test_whitted_sharded_depth5_glass_scene():
     """Depth-5 parity on the glass-heavy demo scene at 128x96: shard
     boundaries cross the dielectric slabs and the TIR march, so this pins

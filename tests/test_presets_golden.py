@@ -10,6 +10,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy  # depth-5 renders vs committed oracle goldens
+
 from raytracer_tpu.config import RenderConfig
 from raytracer_tpu.render import render_whitted
 from raytracer_tpu.scene.presets import (

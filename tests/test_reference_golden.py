@@ -31,6 +31,9 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy  # live depth-5 fidelity renders (quick tier
+# keeps the oracle-parity suites; this module guards the recorded PSNRs)
+
 from raytracer_tpu.utils.png import read_png_rgb8
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
