@@ -280,8 +280,61 @@ def main() -> int:
         log(f"batched schedule (PNG every 10): {png10_dt:.1f}s")
         result["full_schedule_png10_seconds"] = round(png10_dt, 2)
 
+    result.update(_prior_round_deltas(result))
     print(json.dumps(result))
     return 0
+
+
+def _prior_round_deltas(result: dict) -> dict:
+    """Regression gate (VERDICT r4 item 8): compare this run's metrics to
+    the newest committed BENCH_r*.json and flag every metric that worsened
+    more than 10%, direction-aware (seconds: lower is better; Mrays/s and
+    roofline_frac: higher is better).  Silent drifts (51k whitted 386 ->
+    395 ms, strict step 92.7 -> 91.1) cost round 4; the deltas now ride
+    the bench JSON itself."""
+    import glob
+    import re
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    prev_files = sorted(
+        glob.glob(os.path.join(repo, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
+    if not prev_files:
+        return {}
+    prev_path = prev_files[-1]
+    try:
+        with open(prev_path) as f:
+            prev = json.load(f)
+        # driver files wrap the bench line under "parsed"
+        prev = prev.get("parsed", prev) if isinstance(prev, dict) else prev
+    except Exception as e:  # unreadable prior file: report, don't fail
+        return {"prev_round_file": os.path.basename(prev_path),
+                "prev_round_error": str(e)}
+    if not isinstance(prev, dict):
+        return {}
+    lower_better = ("_seconds",)
+    higher_better = ("mrays", "roofline_frac", "value", "vs_baseline")
+    regressions = {}
+    for k, now in result.items():
+        if not isinstance(now, (int, float)) or k not in prev:
+            continue
+        old = prev[k]
+        if not isinstance(old, (int, float)) or old == 0:
+            continue
+        if any(k.endswith(s) or s in k for s in lower_better):
+            worse_pct = (now - old) / old * 100.0
+        elif any(s in k for s in higher_better):
+            worse_pct = (old - now) / old * 100.0
+        else:
+            continue
+        if worse_pct > 10.0:
+            regressions[k] = {"prev": old, "now": now,
+                              "worse_pct": round(worse_pct, 1)}
+            log(f"REGRESSION {k}: {old} -> {now} "
+                f"({worse_pct:+.1f}% worse than {os.path.basename(prev_path)})")
+    return {"prev_round_file": os.path.basename(prev_path),
+            "regressions": regressions}
 
 
 if __name__ == "__main__":

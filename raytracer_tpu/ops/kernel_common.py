@@ -1033,12 +1033,19 @@ _SUP_ORDER_DEFAULT = {"binned": True, "levels": False, "mega": False}
 
 def sup_order_on(family: str) -> bool:
     """Is distance-ordered supergroup traversal enabled for this kernel
-    family ("binned" | "levels" | "mega")?"""
-    if _SUP_ORDER == "0":
-        return False
-    if _SUP_ORDER == "1":
-        return True
-    return _SUP_ORDER_DEFAULT[family]
+    family ("binned" | "levels" | "mega")?
+
+    RT_SUP_ORDER: "" (unset) -> per-family defaults; "0" -> force off
+    everywhere; any other non-empty value -> force on everywhere (the
+    historical pre-r4 semantics — ADVICE r4 flagged that only the exact
+    string "1" used to force on, silently demoting "true"/"2" to the
+    defaults)."""
+    if family not in _SUP_ORDER_DEFAULT:
+        raise KeyError(f"unknown kernel family {family!r}; expected one of "
+                       f"{sorted(_SUP_ORDER_DEFAULT)}")
+    if not _SUP_ORDER:
+        return _SUP_ORDER_DEFAULT[family]
+    return _SUP_ORDER != "0"
 
 # Lane-subgroup gating width for the blocked chunk bodies (see _subgate).
 # The slab gates decide chunk entry per KERNEL TILE (any of R lanes), but
@@ -1118,10 +1125,12 @@ def _sup_at(order_ref, k, row8):
     return order_ref[row8, k]
 
 
-def _order_row(order_ref, family: str = "binned"):
+def _order_row(order_ref, family: str):
     """Per-tile row index into the 8-row SMEM order window, or None when
     ordering is off for `family`.  Must be called at kernel top level
-    (see _sup_at)."""
+    (see _sup_at).  `family` is required so every call site states which
+    kernel family's ordering default it inherits (ADVICE r4: a silent
+    "binned" default let new kernels inherit ON without saying so)."""
     if order_ref is None or not sup_order_on(family):
         return None
     return pl.program_id(0) % 8
@@ -1693,8 +1702,8 @@ class BlockedGeom:
     above)."""
 
     def __init__(self, tblk_ref, boxes8_ref, sup8_ref, sph, n_tri: int,
-                 n_sph: int, n_chunks: int, order_ref=None, row8=None,
-                 family: str = "binned"):
+                 n_sph: int, n_chunks: int, *, family: str, order_ref=None,
+                 row8=None):
         self.tblk_ref, self.boxes8_ref = tblk_ref, boxes8_ref
         self.sup8_ref = sup8_ref
         self.sph = sph

@@ -58,6 +58,18 @@ BINNED_MIN_TRIS = 4096
 # the real chip (docs/PERF.md "Large-mesh MC"); RT_BINNED_TILE overrides.
 BINNED_TILE = int(os.environ.get("RT_BINNED_TILE", 0)) or None
 
+# Between-bounce sort key family (RT_BINNED_KEY):
+#   "chunk" (default) — major key is the ORIGIN CHUNK: the blocked-layout
+#       chunk (BVH leaf group) containing the lane's current hit primitive.
+#       Bounce origins sit ON scene geometry, so the carried hit prim maps
+#       each lane to the exact leaf AABB its next cast starts from — far
+#       tighter than any uniform grid, and aligned with the traversal
+#       granularity the gates prune at (VERDICT r4 item 1: bounce-
+#       granularity origin-chunk-sorted binning).  Sphere hits get
+#       pseudo-chunks past the triangle chunks.
+#   "cell" — the r3/r4 key: origin cell on an 8x8x8 scene-bbox grid.
+BINNED_KEY = os.environ.get("RT_BINNED_KEY", "chunk")
+
 
 def _iload(ref_or_arr, r):
     row = ref_or_arr[r : r + 1, :]
@@ -109,7 +121,8 @@ def _geom_of(g1_ref, g2_ref, g3_ref, sph_ref, scratch, n_tri, n_sph,
     if scratch:
         g1_ref = kc.ChunkTable(g1_ref, scratch[0], scratch[1])
     return kc.BlockedGeom(g1_ref, g2_ref, g3_ref, sph_ref[:, :], n_tri,
-                          n_sph, n_chunks, order_ref=order_ref, row8=row8)
+                          n_sph, n_chunks, family="binned",
+                          order_ref=order_ref, row8=row8)
 
 
 def _primary_kernel(o_ref, d_ref, slot_ref, order_ref, g1_ref, g2_ref,
@@ -146,7 +159,7 @@ def _bounce_kernel(st_in_ref, unif_ref, order_ref, g1_ref, g2_ref, g3_ref,
     any_alive = jnp.any(_iload(st_in_ref, mp.ST_ALIVE) != 0)
     # program_id is only lowerable at kernel top level (kc._order_row);
     # the pl.when bodies below must not read it themselves
-    row8 = kc._order_row(order_ref)
+    row8 = kc._order_row(order_ref, "binned")
 
     @pl.when(any_alive)
     def _run():
@@ -174,7 +187,7 @@ def _terminal_kernel(st_ref, order_ref, g1_ref, g2_ref, g3_ref, sph_ref,
     """Depth-exhausted terminal shade (main.rs:524-527); photons come out
     in the CURRENT (sorted) lane order — the caller scatters by slot."""
     any_alive = jnp.any(_iload(st_ref, mp.ST_ALIVE) != 0)
-    row8 = kc._order_row(order_ref)  # top level only, see _bounce_kernel
+    row8 = kc._order_row(order_ref, "binned")  # top level only, see _bounce_kernel
 
     @pl.when(any_alive)
     def _run():
@@ -246,15 +259,21 @@ def _predict_out_dir(state, u_step, mats):
             jnp.where(sel_f, sdz, fz))
 
 
-def _sort_state(state, lo, inv_extent, u_step, mats):
-    """Sort lanes by (dead?, origin cell, predicted outgoing octant).
+def _sort_state(state, lo, inv_extent, u_step, mats, chunk_of_prim):
+    """Sort lanes by (dead?, origin locality, predicted outgoing octant).
 
-    Cell: 8x8x8 over the scene bbox -> 9 bits; octant: sign bits of the
-    direction the bounce will actually cast along (_predict_out_dir —
-    keying on the stale INCOMING direction was measured a weak proxy for
-    diffuse lanes, whose lobe hugs -normal) -> 3 bits; dead lanes get
-    the top bit so they cluster into skippable tail tiles.  One stable
-    argsort of int32 keys + one wide row-gather of the packed state.
+    Origin locality (major key): the ORIGIN CHUNK when BINNED_KEY is
+    "chunk" — chunk_of_prim maps the lane's carried hit primitive to the
+    blocked-layout chunk (BVH leaf group) whose AABB contains the bounce
+    origin, so lanes grouped together start their next cast from the SAME
+    leaf box and the per-tile front-to-back visit order + tmax pruning
+    act like per-ray traversal.  "cell" keeps the r3/r4 8x8x8 scene-bbox
+    grid (A/B reference).  Octant (minor key): sign bits of the direction
+    the bounce will actually cast along (_predict_out_dir — keying on the
+    stale INCOMING direction was measured a weak proxy for diffuse lanes,
+    whose lobe hugs -normal).  Dead lanes get the top bit so they cluster
+    into skippable tail tiles.  One stable argsort of int32 keys + one
+    wide row-gather of the packed state.
     (16^3 cells were measured ~5% WORSE on the 51k terrain despite its
     ~400 chunks: the finer cell dominates the key and fragments octant
     coherence without changing chunk entry much.)
@@ -262,19 +281,26 @@ def _sort_state(state, lo, inv_extent, u_step, mats):
     dead = jax.lax.bitcast_convert_type(
         state[mp.ST_ALIVE], jnp.int32
     ) == 0
-    q = []
-    for r in (mp.ST_PX, mp.ST_PY, mp.ST_PZ):
-        axis = r - mp.ST_PX
-        t = (state[r] - lo[axis]) * inv_extent[axis]
-        q.append(jnp.clip((t * 8.0).astype(jnp.int32), 0, 7))
-    cell = (q[0] << 6) | (q[1] << 3) | q[2]
+    if BINNED_KEY == "chunk":
+        prim = jnp.clip(
+            jax.lax.bitcast_convert_type(state[mp.ST_PRIM], jnp.int32),
+            0, chunk_of_prim.shape[0] - 1,
+        )
+        locality = chunk_of_prim[prim]
+    else:
+        q = []
+        for r in (mp.ST_PX, mp.ST_PY, mp.ST_PZ):
+            axis = r - mp.ST_PX
+            t = (state[r] - lo[axis]) * inv_extent[axis]
+            q.append(jnp.clip((t * 8.0).astype(jnp.int32), 0, 7))
+        locality = (q[0] << 6) | (q[1] << 3) | q[2]
     pdx, pdy, pdz = _predict_out_dir(state, u_step, mats)
     octant = (
         (pdx < 0).astype(jnp.int32) << 2
         | (pdy < 0).astype(jnp.int32) << 1
         | (pdz < 0).astype(jnp.int32)
     )
-    key = jnp.where(dead, jnp.int32(1 << 30), (cell << 3) | octant)
+    key = jnp.where(dead, jnp.int32(1 << 30), (locality << 3) | octant)
     perm = jnp.argsort(key, stable=True)
     return state.T[perm].T
 
@@ -392,6 +418,21 @@ def trace(scene: Scene, textures, ray_o, ray_d, unifs, depth: int,
     ext = jnp.maximum(jnp.max(bb[:, 3:6], axis=0) - lo, 1e-6)
     inv_extent = 1.0 / ext
 
+    # prim -> origin chunk for the "chunk" sort key: invert blk_perm
+    # (blocked row -> orig tri id) to orig id -> blocked chunk; sphere
+    # hits get pseudo-chunks past the triangle chunks.  Pad rows carry
+    # perm == -1 and scatter out of bounds (dropped).
+    perm_rows = scene.blk_perm
+    rows = jnp.arange(perm_rows.shape[0], dtype=jnp.int32)
+    idx = jnp.where(perm_rows >= 0, perm_rows, scene.n_tri)
+    chunk_of_tri = jnp.zeros((scene.n_tri,), jnp.int32).at[idx].set(
+        rows // kc.BLK_CHUNK, mode="drop"
+    )
+    chunk_of_prim = jnp.concatenate(
+        [chunk_of_tri,
+         n_chunks + jnp.arange(max(scene.n_sph, 1), dtype=jnp.int32)]
+    )
+
     bk = functools.partial(
         _bounce_kernel, n_chunks=n_chunks, n_tri=scene.n_tri,
         n_sph=scene.n_sph, n_light=scene.n_light,
@@ -424,7 +465,8 @@ def trace(scene: Scene, textures, ray_o, ray_d, unifs, depth: int,
     u_pad = jnp.pad(unifs, [(0, 0), (0, 0), (0, n_pad)]) if n_pad else unifs
     mats = (scene.mat_shiness, scene.mat_transparency, scene.mat_smoothness)
     for step in range(depth):
-        state = _sort_state(state, lo, inv_extent, u_pad[step], mats)
+        state = _sort_state(state, lo, inv_extent, u_pad[step], mats,
+                            chunk_of_prim)
         state, dc = bounce(state, u_pad[step])
         casts = casts + jnp.sum(dc)
 

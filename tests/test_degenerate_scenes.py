@@ -101,29 +101,29 @@ def _glass_tris_only():
     return b.build()
 
 
-@pytest.mark.parametrize("mode", ["0", "interpret"])
 @pytest.mark.parametrize("maker", [_glass_sphere_only, _glass_tris_only],
                          ids=["glass-sphere", "glass-tris"])
-def test_march_degenerate_glass(maker, mode):
+def test_march_degenerate_glass(maker):
     """The interior march handles sphere-only and triangle-only dielectrics
-    identically in the XLA and Pallas paths."""
+    identically in the XLA and Pallas paths.
+
+    Both modes render inside ONE test so the comparison cannot depend on
+    xdist scheduling (VERDICT r4: passing the golden between parametrized
+    variants via a function attribute broke — and silently skipped — when
+    the variants landed on different workers)."""
     scene = maker()
     cfg = RenderConfig(width=10, height=8, depth=3, tile_rays=80)
     cam = demo_camera()
-    intersect.set_pallas_mode(mode)
-    try:
-        img, stats = render_whitted(scene, DEFAULT_TEXTURES, cam, cfg)
-    finally:
-        intersect.set_pallas_mode("auto")
-    img = np.asarray(img)
-    assert np.isfinite(img).all()
-    assert stats["dropped"] == 0
-    if mode == "0":
-        test_march_degenerate_glass.cache = getattr(
-            test_march_degenerate_glass, "cache", {}
-        )
-        test_march_degenerate_glass.cache[maker.__name__] = img
-    else:
-        ref = test_march_degenerate_glass.cache.get(maker.__name__)
-        if ref is not None:
-            np.testing.assert_allclose(img, ref, atol=2e-4, rtol=1e-3)
+    imgs = {}
+    for mode in ("0", "interpret"):
+        intersect.set_pallas_mode(mode)
+        try:
+            img, stats = render_whitted(scene, DEFAULT_TEXTURES, cam, cfg)
+        finally:
+            intersect.set_pallas_mode("auto")
+        img = np.asarray(img)
+        assert np.isfinite(img).all()
+        assert stats["dropped"] == 0
+        imgs[mode] = img
+    np.testing.assert_allclose(imgs["interpret"], imgs["0"],
+                               atol=2e-4, rtol=1e-3)
