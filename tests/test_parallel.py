@@ -206,6 +206,80 @@ def test_blocked_mesh_mc_epoch_sharded_runs():
     assert stats["samples_per_pixel"] == 2
 
 
+def test_blocked_mesh_mc_sharded_binned_parity(monkeypatch):
+    """shard_map x the BINNED per-bounce MC kernels execute together with
+    parity (VERDICT r4 item 6: this combination had never executed on any
+    backend — the r4 blocked sharded cases sat below BINNED_MIN_TRIS and
+    always took the mega-kernel).  The threshold is lowered so the 1.1k-tri
+    blocked scene routes through mc_binned.trace inside the sharded epoch;
+    parity is vs a serial single-device recomputation with the same
+    per-(dp, sp)-rank folded keys."""
+    from raytracer_tpu.ops import camera as camera_ops, mc_binned
+    from raytracer_tpu.ops.distributed import trace_distributed
+    from raytracer_tpu.scene.presets import mesh_scene
+
+    monkeypatch.setattr(mc_binned, "BINNED_MIN_TRIS", 64)
+    scene, textures, camera = mesh_scene(grid=24)
+    assert scene.blk_perm is not None
+    assert scene.n_tri >= 64  # really the binned path now
+    cfg = RenderConfig(width=32, height=16, depth=2, tile_rays=512)
+    mesh = make_render_mesh(8)  # dp=4, sp=2
+    key = jax.random.PRNGKey(13)
+    img_s, stats = render_mc_epoch_sharded(
+        scene, textures, camera, cfg, mesh, key
+    )
+    assert stats["samples_per_pixel"] == 2
+
+    dp, sp = mesh.shape["dp"], mesh.shape["sp"]
+    clips, _ = _pad_to(clip_coords(cfg.width, cfg.height), dp)
+    shard = clips.shape[0] // dp
+    total = np.zeros((clips.shape[0], 3), np.float32)
+    for di in range(dp):
+        local = jnp.asarray(clips[di * shard : (di + 1) * shard])
+        for si in range(sp):
+            k = jax.random.fold_in(jax.random.fold_in(key, di), si)
+            k_lens, k_path = jax.random.split(k)
+            offsets = (
+                jax.random.normal(k_lens, (local.shape[0], 2), local.dtype)
+                * cfg.blur
+            )
+            o, d = camera_ops.shoot_focus(camera, local, offsets, cfg.focus)
+            res = trace_distributed(scene, textures, o, d, k_path, cfg)
+            total[di * shard : (di + 1) * shard] += np.asarray(res.photon)
+    n = cfg.width * cfg.height
+    expect = total[:n].reshape(cfg.height, cfg.width, 3)
+    np.testing.assert_allclose(np.asarray(img_s), expect, atol=1e-5,
+                               rtol=1e-4)
+
+
+@pytest.mark.heavy
+def test_blocked_mesh_mc_sharded_binned_11k():
+    """The REAL scale tier: an 11k-triangle terrain (>= BINNED_MIN_TRIS
+    without any threshold override) through the sharded MC epoch — the
+    exact shard_map x binned-per-bounce combination the bench runs at
+    1024x1024 on hardware, here on the 8-virtual-device CPU mesh at a
+    small frame, checked deterministic and photon-producing."""
+    from raytracer_tpu.ops import mc_binned
+    from raytracer_tpu.scene.presets import mesh_scene
+
+    scene, textures, camera = mesh_scene(grid=75)
+    assert scene.blk_perm is not None
+    assert scene.n_tri >= mc_binned.BINNED_MIN_TRIS
+    cfg = RenderConfig(width=32, height=16, depth=2, tile_rays=512)
+    mesh = make_render_mesh(8)
+    key = jax.random.PRNGKey(17)
+    img1, stats = render_mc_epoch_sharded(
+        scene, textures, camera, cfg, mesh, key
+    )
+    img2, _ = render_mc_epoch_sharded(
+        scene, textures, camera, cfg, mesh, key
+    )
+    np.testing.assert_array_equal(np.asarray(img1), np.asarray(img2))
+    assert np.isfinite(np.asarray(img1)).all()
+    assert np.asarray(img1).sum() > 0
+    assert stats["samples_per_pixel"] == 2
+
+
 def test_init_multihost_wiring(monkeypatch):
     """init_multihost passes coordinator args through to
     jax.distributed.initialize (VERDICT.md round 1 weak #5: previously an
