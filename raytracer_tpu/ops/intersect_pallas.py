@@ -332,19 +332,28 @@ def any_hit(scene: Scene, rays: Rays, active=None, limit=None,
 # ---------------------------------------------------------------------------
 
 
-def _shadow_kernel(o_ref, d_ref, excl_ref, limit_ref, act_ref, tri_ref,
-                   sph_ref, out_ref, *, n_tri: int, n_sph: int, n_light: int):
+def _shadow_kernel(o_ref, d_ref, excl_ref, limit_ref, tlim_ref, lmeta_ref,
+                   act_ref, tri_ref, sph_ref, out_ref, *, n_tri: int,
+                   n_sph: int, n_light: int):
     """All lights' shadow sweeps in one launch.
 
-    Shadow rays share their origin (the shading point) and differ per light
-    only in direction/limit, so the origin-dependent plane terms (fn.o,
-    g_e.o) are computed once and reused across lights.  Shadow rays are
-    face=Back with exclusion (prim, BACK) — against the Back-face-only
-    candidate set the exclusion reduces to "not the source primitive"
-    (src/main.rs:425-448).
+    Shadow rays share their origin (the shading point), so the origin-
+    dependent plane terms (fn.o, the edge ogh terms, num = dpl - fn.o)
+    are computed once and reused across lights.  The per-light triangle
+    terms use the FACTORED-TARGET algebra of kernel_common._ShadowSweep
+    (identical expressions — kernel-vs-jnp parity stays bit-exact): a
+    shadow ray aims at a fixed light, so its direction-dependent dot
+    products factor through per-triangle constants c_fn / c_g built from
+    the light's target point (position lights, scaled t in (0,1)) or
+    constant direction (directional lights, real-unit t).  Shadow rays
+    are face=Back with exclusion (prim, BACK) — against the Back-face-
+    only candidate set the exclusion reduces to "not the source
+    primitive" (src/main.rs:425-448).  Sphere tests keep the normalized
+    per-light direction + real-distance limit.
 
-    o_ref [3,R]; d_ref [3L,R]; excl [1,R] i32; limit [L,R]; act [L,R] i32;
-    out [L,R] i32.
+    o_ref [3,R]; d_ref [3L,R] normalized dirs (spheres); excl [1,R] i32;
+    limit [L,R] real-unit limits (spheres); tlim [L,R] triangle t limits;
+    lmeta [L,8] (s, tx, ty, tz, ...); act [L,R] i32; out [L,R] i32.
     """
     ox, oy, oz = o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :]
     excl_prim = excl_ref[0:1, :]
@@ -355,12 +364,15 @@ def _shadow_kernel(o_ref, d_ref, excl_ref, limit_ref, act_ref, tri_ref,
         fn0, fn1, fn2 = tri[:, 0:1], tri[:, 1:2], tri[:, 2:3]
         dpl = tri[:, 3:4]
         o_fn = fn0 * ox + fn1 * oy + fn2 * oz
-        og = []
+        num = dpl - o_fn
+        num_pos = num > 0.0
+        ogh = []
         for e in range(3):
             g0 = tri[:, 4 + 3 * e : 5 + 3 * e]
             g1 = tri[:, 5 + 3 * e : 6 + 3 * e]
             g2 = tri[:, 6 + 3 * e : 7 + 3 * e]
-            og.append(g0 * ox + g1 * oy + g2 * oz)
+            h = tri[:, 13 + e : 14 + e]
+            ogh.append(g0 * ox + g1 * oy + g2 * oz + h)
         tri_prim = jax.lax.broadcasted_iota(jnp.int32, o_fn.shape, 0)
         not_self_tri = excl_prim != tri_prim
     if n_sph > 0:
@@ -375,29 +387,37 @@ def _shadow_kernel(o_ref, d_ref, excl_ref, limit_ref, act_ref, tri_ref,
         not_self_sph = excl_prim != sph_prim
 
     for l in range(n_light):
-        dx = d_ref[3 * l : 3 * l + 1, :]
-        dy = d_ref[3 * l + 1 : 3 * l + 2, :]
-        dz = d_ref[3 * l + 2 : 3 * l + 3, :]
-        limit = limit_ref[l : l + 1, :]
         active = act_ref[l : l + 1, :] != 0
         blocked = jnp.zeros((1, ox.shape[1]), jnp.int32)
 
         if n_tri > 0:
-            no_d = fn0 * dx + fn1 * dy + fn2 * dz
-            backface = no_d > 0.0  # Back rays hit backfaces only
-            t = (dpl - o_fn) / no_d
-            ok = backface & (t > 0.0) & not_self_tri
+            s = lmeta_ref[l : l + 1, 0:1]
+            # lane-replicated copy for [T,R] products (Mosaic has no
+            # both-axes broadcast; [1,1] -> [1,R] is lanes-only, legal)
+            sr = s + jnp.zeros((1, ox.shape[1]), jnp.float32)
+            tx = lmeta_ref[l : l + 1, 1:2]
+            ty = lmeta_ref[l : l + 1, 2:3]
+            tz = lmeta_ref[l : l + 1, 3:4]
+            tlim = tlim_ref[l : l + 1, :]
+            c_fn = fn0 * tx + fn1 * ty + fn2 * tz  # [T, 1]
+            no_d = c_fn - sr * o_fn
+            t = num / no_d
+            ok = (no_d > 0.0) & num_pos & not_self_tri
             for e in range(3):
                 g0 = tri[:, 4 + 3 * e : 5 + 3 * e]
                 g1 = tri[:, 5 + 3 * e : 6 + 3 * e]
                 g2 = tri[:, 6 + 3 * e : 7 + 3 * e]
                 h = tri[:, 13 + e : 14 + e]
-                dg = g0 * dx + g1 * dy + g2 * dz
-                ok = ok & (og[e] + h + t * dg >= 0.0)
-            ok = ok & active & jnp.isfinite(t) & (t < limit)
+                c_g = g0 * tx + g1 * ty + g2 * tz + s * h  # [T, 1]
+                ok = ok & (ogh[e] + t * (c_g - sr * ogh[e]) >= 0.0)
+            ok = ok & active & jnp.isfinite(t) & (t < tlim)
             blocked = blocked | jnp.any(ok, axis=0, keepdims=True).astype(jnp.int32)
 
         if n_sph > 0:
+            dx = d_ref[3 * l : 3 * l + 1, :]
+            dy = d_ref[3 * l + 1 : 3 * l + 2, :]
+            dz = d_ref[3 * l + 2 : 3 * l + 3, :]
+            limit = limit_ref[l : l + 1, :]
             px = wy * dz - wz * dy
             py = wz * dx - wx * dz
             pz = wx * dy - wy * dx
@@ -419,9 +439,12 @@ def shadow_any_hit(scene: Scene, pos, dirs, excl_prim, limits, actives,
                    interpret: bool = False):
     """Fused shadow predicate for all lights.
 
-    pos [N,3]; dirs [L,N,3] (toward each light); excl_prim [N] (the shaded
-    primitive, excluded on its back side); limits [L,N]; actives [L,N].
-    Returns blocked [L,N] bool.
+    pos [N,3]; dirs [L,N,3] (normalized, toward each light); excl_prim
+    [N] (the shaded primitive, excluded on its back side); limits [L,N]
+    real-unit occluder limits; actives [L,N].  Returns blocked [L,N]
+    bool.  The light target metadata for the factored triangle algebra
+    (s, target point/direction, scaled limit — see _shadow_kernel) is
+    derived from the scene's light table here.
     """
     L, n = dirs.shape[0], pos.shape[0]
     tile = min(TILE_R, max(128, -(-n // 128) * 128))
@@ -431,10 +454,27 @@ def shadow_any_hit(scene: Scene, pos, dirs, excl_prim, limits, actives,
     def pad(x):
         return jnp.pad(x, [(0, 0), (0, n_pad)]) if n_pad else x
 
+    # factored-target light metadata (matches kernel_common.get_shade's
+    # occ dict: position lights aim at L with scaled t in (0,1);
+    # directional lights keep -light_dir and the real limit — they may
+    # still carry an origin, lights.rs:48-52)
+    from raytracer_tpu.scene.types import LIGHT_DIRECTIONAL
+
+    is_dir = (scene.light_type == LIGHT_DIRECTIONAL)[:L, None]  # [L, 1]
+    tgt = jnp.where(is_dir, -scene.light_dir[:L], scene.light_origin[:L])
+    lmeta = jnp.concatenate(
+        [jnp.where(is_dir, 0.0, 1.0), tgt,
+         jnp.zeros((L, 4), jnp.float32)],
+        axis=1,
+    ).astype(jnp.float32)  # [L, 8]
+    lim_real = jnp.minimum(limits, _BIG)
+    tlims = jnp.where(is_dir, lim_real, 1.0)  # [L, N]
+
     o_t = pad(pos.T)
     d_t = pad(dirs.transpose(0, 2, 1).reshape(3 * L, n))
     e_t = pad(excl_prim[None, :])
-    lim_t = pad(jnp.minimum(limits, _BIG))
+    lim_t = pad(lim_real)
+    tlim_t = pad(tlims)
     act_t = pad(actives.astype(jnp.int32))
     tri = pack_tri(scene) if scene.n_tri > 0 else jnp.zeros((8, 34), jnp.float32)
     sph = pack_sph(scene) if scene.n_sph > 0 else jnp.zeros((8, 8), jnp.float32)
@@ -449,11 +489,14 @@ def shadow_any_hit(scene: Scene, pos, dirs, excl_prim, limits, actives,
         grid=(grid,),
         in_specs=[
             row(3), row(3 * L), row(1), row(L), row(L),
+            pl.BlockSpec(lmeta.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            row(L),
             pl.BlockSpec(tri.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(sph.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=row(L),
         out_shape=jax.ShapeDtypeStruct((L, o_t.shape[1]), jnp.int32),
         interpret=interpret,
-    )(o_t, d_t, e_t, lim_t, act_t, tri, sph)
+    )(o_t, d_t, e_t, lim_t, tlim_t, lmeta, act_t, tri, sph)
     return blocked[:, :n] != 0

@@ -448,7 +448,38 @@ class _ShadowSweep:
     origin (the shading point), so the origin-dependent plane/edge/sphere
     terms are computed ONCE here and reused per light (the reference's
     nearest-vs-light-distance test is equivalent to this any-hit form,
-    src/main.rs:435-448)."""
+    src/main.rs:435-448).
+
+    Round 5: the triangle tests use the FACTORED-TARGET algebra — a
+    shadow ray points at a fixed light, so with the unnormalized
+    direction d = L - p (position lights, s=1) or d = -light_dir
+    (directional, s=0) every direction-dependent per-(tri, lane) dot
+    product factors through per-triangle constants:
+
+        no_d = fn.d          = c_fn    - s * o_fn,   c_fn  = fn.t
+        dg_e = g_e.d (+ s h) = c_g[e]  - s * ogh[e], c_g   = g_e.t + s h
+        t    = (dpl - o_fn) / no_d = num / no_d      (num shared)
+        t in scaled units for position lights -> occluder iff t in (0, 1)
+        (exactly the reference's occluder-nearer-than-light test,
+        src/main.rs:435-448, under the positive scale |L - p|).
+
+    where t = (tx, ty, tz) is the light position or negated direction.
+    The [T, 1] constants amortize over all lanes; the per-(tri, lane)
+    cost drops from ~40 to ~20 ops per light.  Occlusion BOOLEANS are
+    identical in real arithmetic; fp rounding can flip razor-edge
+    grazing cases only (same class as any reassociation).  The jnp
+    reference path (intersect_pallas._shadow_kernel) computes the SAME
+    expressions so kernel-vs-jnp parity stays exact.  Sphere tests keep
+    the normalized direction + real-distance limit (the perpendicular-
+    distance test is not scale-invariant and spheres are few).
+
+    `lights` entries for blocked_multi: dicts with
+      s, tx, ty, tz   [1,1]  factored-target scalars
+      tlim            [1,R]  triangle t limit (1.0 scaled / real for dir)
+      ndx, ndy, ndz   [1,R]  normalized toward-light direction (spheres)
+      slim            [1,R]  sphere limit in real units
+      act             [1,R]  consider mask
+    """
 
     def __init__(self, px, py, pz, not_self_excl, tri, sph,
                  n_tri: int, n_sph: int):
@@ -458,12 +489,15 @@ class _ShadowSweep:
         if n_tri > 0:
             fn0, fn1, fn2 = tri[:, 0:1], tri[:, 1:2], tri[:, 2:3]
             self.o_fn = fn0 * px + fn1 * py + fn2 * pz
-            self.og = []
+            self.num = tri[:, 3:4] - self.o_fn  # dpl - o_fn, shared
+            self.num_pos = self.num > 0.0  # t > 0 iff num > 0 (no_d > 0)
+            self.ogh = []
             for e in range(3):
                 g0 = tri[:, 4 + 3 * e : 5 + 3 * e]
                 g1 = tri[:, 5 + 3 * e : 6 + 3 * e]
                 g2 = tri[:, 6 + 3 * e : 7 + 3 * e]
-                self.og.append(g0 * px + g1 * py + g2 * pz)
+                h = tri[:, 13 + e : 14 + e]
+                self.ogh.append(g0 * px + g1 * py + g2 * pz + h)
             prim = jax.lax.broadcasted_iota(jnp.int32, self.o_fn.shape, 0)
             self.not_self_tri = not_self_excl != prim
         if n_sph > 0:
@@ -474,46 +508,57 @@ class _ShadowSweep:
             )
             self.not_self_sph = not_self_excl != prim
 
-    def blocked(self, dx, dy, dz, limit, active):
-        tri, sph = self.tri, self.sph
-        out = jnp.zeros((1, self.px.shape[1]), jnp.int32)
-        if self.n_tri > 0:
-            fn0, fn1, fn2 = tri[:, 0:1], tri[:, 1:2], tri[:, 2:3]
-            dpl = tri[:, 3:4]
-            no_d = fn0 * dx + fn1 * dy + fn2 * dz
-            backface = no_d > 0.0
-            t = (dpl - self.o_fn) / no_d
-            ok = backface & (t > 0.0) & self.not_self_tri
-            for e in range(3):
-                g0 = tri[:, 4 + 3 * e : 5 + 3 * e]
-                g1 = tri[:, 5 + 3 * e : 6 + 3 * e]
-                g2 = tri[:, 6 + 3 * e : 7 + 3 * e]
-                h = tri[:, 13 + e : 14 + e]
-                ok = ok & (self.og[e] + h
-                           + t * (g0 * dx + g1 * dy + g2 * dz) >= 0.0)
-            ok = ok & active & jnp.isfinite(t) & (t < limit)
-            out = out | jnp.any(ok, axis=0, keepdims=True).astype(jnp.int32)
-        if self.n_sph > 0:
-            r2 = sph[:, 3:4]
-            wx, wy, wz = self.wx, self.wy, self.wz
-            qx = wy * dz - wz * dy
-            qy = wz * dx - wx * dz
-            qz = wx * dy - wy * dx
-            dist2 = qx * qx + qy * qy + qz * qz
-            tc = dx * wx + dy * wy + dz * wz
-            kk = jnp.sqrt(jnp.maximum(r2 - dist2, 0.0))
-            t = tc + kk  # Back rays take the far shell
-            ok = ((dist2 <= r2) & (t > 0.0) & self.not_self_sph
-                  & active & jnp.isfinite(t) & (t < limit))
-            out = out | jnp.any(ok, axis=0, keepdims=True).astype(jnp.int32)
-        return out != 0
+    def _tri_blocked(self, lt):
+        """Factored-target triangle any-hit row for one light.
 
-    def blocked_multi(self, rays):
-        """Per-light delegation: the dense table lives in VMEM and the
-        origin terms are already hoisted into __init__, so there is
-        nothing left to share across lights here."""
-        return [self.blocked(dx, dy, dz, limit, act)
-                for dx, dy, dz, limit, act in rays]
+        `s` ([1,1]) multiplies only [T,1] constants; against [T,R] arrays
+        the lane-replicated `sr` ([1,R]) is used — Mosaic implements
+        single-axis vector broadcasts only (a [1,1] against [T,R] needs
+        both axes at once and fails to compile on hardware)."""
+        tri = self.tri
+        fn0, fn1, fn2 = tri[:, 0:1], tri[:, 1:2], tri[:, 2:3]
+        s, sr = lt["s"], lt["sr"]
+        tx, ty, tz = lt["tx"], lt["ty"], lt["tz"]
+        c_fn = fn0 * tx + fn1 * ty + fn2 * tz  # [T, 1]
+        no_d = c_fn - sr * self.o_fn  # [T, R]
+        t = self.num / no_d
+        ok = (no_d > 0.0) & self.num_pos & self.not_self_tri
+        for e in range(3):
+            g0 = tri[:, 4 + 3 * e : 5 + 3 * e]
+            g1 = tri[:, 5 + 3 * e : 6 + 3 * e]
+            g2 = tri[:, 6 + 3 * e : 7 + 3 * e]
+            h = tri[:, 13 + e : 14 + e]
+            c_g = g0 * tx + g1 * ty + g2 * tz + s * h  # [T, 1]
+            ok = ok & (self.ogh[e] + t * (c_g - sr * self.ogh[e]) >= 0.0)
+        ok = ok & lt["act"] & jnp.isfinite(t) & (t < lt["tlim"])
+        return jnp.any(ok, axis=0, keepdims=True).astype(jnp.int32)
+
+    def _sph_blocked(self, lt):
+        sph = self.sph
+        dx, dy, dz = lt["ndx"], lt["ndy"], lt["ndz"]
+        r2 = sph[:, 3:4]
+        wx, wy, wz = self.wx, self.wy, self.wz
+        qx = wy * dz - wz * dy
+        qy = wz * dx - wx * dz
+        qz = wx * dy - wy * dx
+        dist2 = qx * qx + qy * qy + qz * qz
+        tc = dx * wx + dy * wy + dz * wz
+        kk = jnp.sqrt(jnp.maximum(r2 - dist2, 0.0))
+        t = tc + kk  # Back rays take the far shell
+        ok = ((dist2 <= r2) & (t > 0.0) & self.not_self_sph
+              & lt["act"] & jnp.isfinite(t) & (t < lt["slim"]))
+        return jnp.any(ok, axis=0, keepdims=True).astype(jnp.int32)
+
+    def blocked_multi(self, lights):
+        outs = []
+        for lt in lights:
+            out = jnp.zeros((1, self.px.shape[1]), jnp.int32)
+            if self.n_tri > 0:
+                out = out | self._tri_blocked(lt)
+            if self.n_sph > 0:
+                out = out | self._sph_blocked(lt)
+            outs.append(out != 0)
+        return outs
 
 
 def get_shade(mat_sample, lights, px, py, pz, nax, nay, naz, vdx, vdy, vdz,
@@ -524,7 +569,7 @@ def get_shade(mat_sample, lights, px, py, pz, nax, nay, naz, vdx, vdy, vdz,
     (nax,nay,naz): ADJUSTED shading normal; (vdx,vdy,vdz): view = -ray_d;
     sweep: a shadow-sweep strategy (`_ShadowSweep` for the dense table,
     `_BlockedShadowSweep` for the chunk-gated large-mesh layout) exposing
-    `blocked_multi([(dx, dy, dz, limit, active), ...])` — all lights'
+    `blocked_multi([occ_dict, ...])` (see _ShadowSweep) — all lights'
     occlusion bits from one pass.  Returns (r, g, b, shadow_count)
     with shadow_count the per-lane number of shadow rays cast (for the
     honest cast counters).
@@ -577,17 +622,31 @@ def get_shade(mat_sample, lights, px, py, pz, nax, nay, naz, vdx, vdy, vdz,
         cosine = -(ldx * nax + ldy * nay + ldz * naz)
         consider = active & lvalid & (cosine > 0.0)
         limit = jnp.where(HAS_O > 0.5, mag, _BIG)
-        params.append((ldx, ldy, ldz, limit, consider, cosine,
+        # factored-target scalars for the sweep (_ShadowSweep docstring):
+        # position lights aim at L (scaled t, limit 1); directional lights
+        # keep the real-unit constant direction -LD and the real limit
+        # (they may still carry an origin, lights.rs:48-52)
+        s11 = jnp.where(is_dir, 0.0, 1.0)  # [1,1]
+        occ = dict(
+            s=s11,
+            # lane-replicated copy for [T,R] products (Mosaic has no
+            # both-axes broadcast; [1,1] -> [1,R] is lanes-only, legal)
+            sr=s11 + jnp.zeros((1, px.shape[1]), jnp.float32),
+            tx=jnp.where(is_dir, -LDX, LOX),
+            ty=jnp.where(is_dir, -LDY, LOY),
+            tz=jnp.where(is_dir, -LDZ, LOZ),
+            tlim=jnp.where(is_dir, limit, 1.0),
+            ndx=-ldx, ndy=-ldy, ndz=-ldz,
+            slim=limit, act=consider,
+        )
+        params.append((ldx, ldy, ldz, occ, consider, cosine,
                        (LCR, LCG, LCB), att))
 
-    blocked_l = sweep.blocked_multi(
-        [(-ldx, -ldy, -ldz, limit, consider)
-         for ldx, ldy, ldz, limit, consider, _, _, _ in params]
-    )
+    blocked_l = sweep.blocked_multi([p[3] for p in params])
 
     # Pass 2: accumulate per-light radiance from the occlusion bits.
     for li in range(n_light):
-        ldx, ldy, ldz, limit, consider, cosine, lc, att = params[li]
+        ldx, ldy, ldz, _occ, consider, cosine, lc, att = params[li]
         LCR, LCG, LCB = lc
         count = count + consider.astype(jnp.int32)
         lit = consider & ~blocked_l[li]
@@ -1384,50 +1443,61 @@ class _BlockedShadowSweep:
             prim = n_tri + jax.lax.broadcasted_iota(jnp.int32, self.wx.shape, 0)
             self.not_self_sph = not_self_excl != prim
 
-    def blocked_multi(self, rays):
+    def blocked_multi(self, lights):
         """All lights' shadow sweeps in ONE pass over the chunk tables.
 
-        `rays` is a list of (dx, dy, dz, limit, active) per light.  The
-        per-light loop in get_shade used to call `blocked` L times, and
-        each call re-streamed every chunk's [C,48] rows from HBM and
-        recomputed the origin-dependent plane/edge dot products — but all
-        L shadow rays share their origin (the shading point), so one
-        chunk visit can test every light: rows are loaded once, `o_fn`
-        and the edge `og` terms are computed once, and only the
-        direction-dependent terms (`no_d`, `t`, edge `dg`) are per-light.
+        `lights` is a list of per-light dicts (see _ShadowSweep docstring:
+        factored-target scalars s/tx/ty/tz + tlim for triangles,
+        normalized ndx/ndy/ndz + slim for spheres, act).  The per-light
+        loop in get_shade used to call `blocked` L times, and each call
+        re-streamed every chunk's [C,48] rows from HBM and recomputed the
+        origin-dependent plane/edge dot products — but all L shadow rays
+        share their origin (the shading point), so one chunk visit can
+        test every light: rows are loaded once, `o_fn`/`num`/`ogh` are
+        computed once, and the per-light terms factor through [C, 1]
+        constants (c_fn, c_g) exactly as in the dense sweep.
 
         A chunk is entered when ANY light still has a pending lane whose
         slab test passes; evaluating the other lights there too is
         harmless — the triangle occlusion test is exact, and any real
         occluder within a light's limit would have passed that light's
         own slab test anyway — so the per-light results are bit-identical
-        to L independent `blocked` calls (whitted/MC parity through this
-        path: tests/test_blocked.py vs the dense jnp reference).
+        to L independent sweeps (whitted/MC parity through this path:
+        tests/test_blocked.py vs the dense jnp reference).
         """
         px, py, pz = self.px, self.py, self.pz
-        L = len(rays)
+        L = len(lights)
         shape = (1, px.shape[1])
         outs = [jnp.zeros(shape, jnp.int32) for _ in range(L)]
         if L == 0:
             return []
         if self.n_tri > 0:
-            invs = [(1.0 / dx, 1.0 / dy, 1.0 / dz)
-                    for dx, dy, dz, _, _ in rays]
+            # slab rays: unnormalized d = t - s*p (position lights: L - p,
+            # scaled t limit 1; directional: the constant -LD, real limit)
+            invs = []
+            for lt in lights:
+                dxl = lt["tx"] - lt["s"] * px
+                dyl = lt["ty"] - lt["s"] * py
+                dzl = lt["tz"] - lt["s"] * pz
+                invs.append((1.0 / dxl, 1.0 / dyl, 1.0 / dzl))
             L_keys = [f"o{l}" for l in range(L)]
 
             ins = dict(px=px, py=py, pz=pz, ns=self.not_self)
-            for l, (dx, dy, dz, limit, act) in enumerate(rays):
-                ins[f"dx{l}"], ins[f"dy{l}"], ins[f"dz{l}"] = dx, dy, dz
-                ins[f"lim{l}"], ins[f"act{l}"] = limit, act
+            for l, lt in enumerate(lights):
+                ins[f"s{l}"], ins[f"sr{l}"] = lt["s"], lt["sr"]
+                ins[f"tx{l}"], ins[f"ty{l}"], ins[f"tz{l}"] = (
+                    lt["tx"], lt["ty"], lt["tz"]
+                )
+                ins[f"lim{l}"], ins[f"act{l}"] = lt["tlim"], lt["act"]
 
             def pend_hits(ci_box, outs):
                 """Per-light pending masks + the union hit-row."""
                 pend, hits = [], []
-                for l, (dx, dy, dz, limit, act) in enumerate(rays):
-                    p = act & (outs[L_keys[l]] == 0)
+                for l, lt in enumerate(lights):
+                    p = lt["act"] & (outs[L_keys[l]] == 0)
                     pend.append(p)
                     hits.append(_slab_rows(ci_box, px, py, pz, *invs[l],
-                                           limit) & p)
+                                           lt["tlim"]) & p)
                 enter = hits[0]
                 for h in hits[1:]:
                     enter = enter | h
@@ -1447,28 +1517,31 @@ class _BlockedShadowSweep:
                         ipx, ipy, ipz = i["px"], i["py"], i["pz"]
                         not_self = i["ns"] != ids_i
                         o_fn = fn0 * ipx + fn1 * ipy + fn2 * ipz
-                        eg, og = [], []
+                        num = dpl - o_fn
+                        num_pos = num > 0.0
+                        eg, ogh = [], []
                         for e in range(3):
                             g0 = rows[:, 4 + 3 * e : 5 + 3 * e]
                             g1 = rows[:, 5 + 3 * e : 6 + 3 * e]
                             g2 = rows[:, 6 + 3 * e : 7 + 3 * e]
                             h = rows[:, 13 + e : 14 + e]
-                            eg.append((g0, g1, g2))
-                            og.append(g0 * ipx + g1 * ipy + g2 * ipz + h)
+                            eg.append((g0, g1, g2, h))
+                            ogh.append(g0 * ipx + g1 * ipy + g2 * ipz + h)
                         new = {}
                         for l in range(L):
-                            dx, dy, dz = i[f"dx{l}"], i[f"dy{l}"], i[f"dz{l}"]
+                            s, sr = i[f"s{l}"], i[f"sr{l}"]
+                            tx, ty, tz = i[f"tx{l}"], i[f"ty{l}"], i[f"tz{l}"]
                             limit = i[f"lim{l}"]
                             p = i[f"act{l}"] & (outs[L_keys[l]] == 0)
-                            no_d = fn0 * dx + fn1 * dy + fn2 * dz
-                            t = (dpl - o_fn) / no_d
-                            ok = (no_d > 0.0) & (t > 0.0) & not_self
+                            c_fn = fn0 * tx + fn1 * ty + fn2 * tz
+                            no_d = c_fn - sr * o_fn
+                            t = num / no_d
+                            ok = (no_d > 0.0) & num_pos & not_self
                             for e in range(3):
-                                g0, g1, g2 = eg[e]
-                                ok = ok & (og[e]
-                                           + t * (g0 * dx + g1 * dy
-                                                  + g2 * dz)
-                                           >= 0.0)
+                                g0, g1, g2, h = eg[e]
+                                c_g = g0 * tx + g1 * ty + g2 * tz + s * h
+                                ok = ok & (ogh[e]
+                                           + t * (c_g - sr * ogh[e]) >= 0.0)
                             ok = ok & p & jnp.isfinite(t) & (t < limit)
                             new[L_keys[l]] = outs[L_keys[l]] | jnp.any(
                                 ok, axis=0, keepdims=True).astype(jnp.int32)
@@ -1504,7 +1577,8 @@ class _BlockedShadowSweep:
             sph = self.sph
             r2 = sph[:, 3:4]
             wx, wy, wz = self.wx, self.wy, self.wz
-            for l, (dx, dy, dz, limit, act) in enumerate(rays):
+            for l, lt in enumerate(lights):
+                dx, dy, dz = lt["ndx"], lt["ndy"], lt["ndz"]
                 qx = wy * dz - wz * dy
                 qy = wz * dx - wx * dz
                 qz = wx * dy - wy * dx
@@ -1513,7 +1587,7 @@ class _BlockedShadowSweep:
                 kk = jnp.sqrt(jnp.maximum(r2 - dist2, 0.0))
                 t = tc + kk  # Back rays take the far shell
                 ok = ((dist2 <= r2) & (t > 0.0) & self.not_self_sph
-                      & act & jnp.isfinite(t) & (t < limit))
+                      & lt["act"] & jnp.isfinite(t) & (t < lt["slim"]))
                 outs[l] = outs[l] | jnp.any(
                     ok, axis=0, keepdims=True).astype(jnp.int32)
         return [o != 0 for o in outs]

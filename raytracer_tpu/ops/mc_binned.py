@@ -166,7 +166,7 @@ def _bounce_kernel(st_in_ref, unif_ref, order_ref, g1_ref, g2_ref, g3_ref,
         geom = _geom_of(g1_ref, g2_ref, g3_ref, sph_ref, scratch, n_tri,
                         n_sph, n_chunks, order_ref, row8)
         st = _st_from_rows(st_in_ref)
-        new_st, dc = mp.mc_step(
+        new_st, dc, _mat = mp.mc_step(
             geom, mat_ref[:, :], mat_T_ref[:, :], light_ref[:, :], n_light,
             textures, max_distance, max_retries, st,
             unif_ref[0:1, :], unif_ref[1:2, :], unif_ref[2:3, :],

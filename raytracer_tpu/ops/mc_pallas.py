@@ -52,14 +52,25 @@ _ST_INT = (ST_ALIVE, ST_PRIM, ST_OBJ, ST_BACK, ST_SLOT)
 
 def mc_step(geom, mat_t, mat_T, lights, n_light: int, textures,
             max_distance: float, max_retries: int, st: dict,
-            u_sel, u_phi, theta):
+            u_sel, u_phi, theta, mat_in=None):
     """ONE roulette bounce of the distributed walk (main.rs:521-614).
 
     `st` holds the walk state as [1, R] rows: alive, accum a{r,g,b},
     scale s{r,g,b}, current hit (p, n, uv, prim, obj, back) and the
-    incoming direction d.  Returns (new_st, casts_delta).  Shared by the
-    whole-walk mega-kernel (_mc_kernel) and the binned per-bounce path
-    (ops/mc_binned.py) so both consume identical math + randomness.
+    incoming direction d.  Returns (new_st, casts_delta, mat_next).
+    Shared by the whole-walk mega-kernel (_mc_kernel) and the binned
+    per-bounce path (ops/mc_binned.py) so both consume identical math +
+    randomness.
+
+    `mat_in`: the CURRENT hit's material sample, if the caller already
+    has it.  For every lane that survives a bounce the next bounce's
+    entry material equals this bounce's next-hit sample m2 (the shade
+    evaluated s_obj/s_u/s_v ARE the carried hit for use_next lanes, and
+    dead lanes' values are never consumed), so the unrolled mega-kernel
+    threads `mat_next` through and pays ONE eval_material per bounce
+    instead of two — bit-identical results (same function of equal
+    inputs).  The binned per-bounce path passes None (carrying 14 more
+    state rows between kernels would cost more than the eval).
     """
     alive = st["alive"]
     ar, ag, ab = st["ar"], st["ag"], st["ab"]
@@ -72,7 +83,8 @@ def mc_step(geom, mat_t, mat_T, lights, n_light: int, textures,
     shape = alive.shape
     front = jnp.zeros(shape, jnp.int32)
 
-    m = kc.eval_material(mat_t, textures, cobj, cu, cv, mat_T)
+    m = (mat_in if mat_in is not None
+         else kc.eval_material(mat_t, textures, cobj, cu, cv, mat_T))
     w0 = (1.0 - m["shiness"]) * (1.0 - m["transparency"])
     w1 = m["shiness"] * (1.0 - m["transparency"])
     w2 = m["transparency"]
@@ -202,20 +214,21 @@ def mc_step(geom, mat_t, mat_T, lights, n_light: int, textures,
         cprim=nxt["prim"], cobj=nxt["obj"], cback=nxt["backface"],
         cdx=adv_dx, cdy=adv_dy, cdz=adv_dz,
     )
-    return new_st, casts
+    return new_st, casts, m2
 
 
 def mc_terminal(geom, mat_t, mat_T, lights, n_light: int, textures,
-                st: dict):
+                st: dict, mat_in=None):
     """Depth-exhausted terminal shade (main.rs:524-527): accum +=
     scale * shade(self) on still-alive lanes.  Returns (ar, ag, ab,
-    casts_delta)."""
+    casts_delta).  `mat_in`: carried current-hit material (see mc_step)."""
     alive = st["alive"]
     cpx, cpy, cpz = st["cpx"], st["cpy"], st["cpz"]
     cnx, cny, cnz = st["cnx"], st["cny"], st["cnz"]
     cdx, cdy, cdz = st["cdx"], st["cdy"], st["cdz"]
-    m3 = kc.eval_material(mat_t, textures, st["cobj"], st["cu"], st["cv"],
-                          mat_T)
+    m3 = (mat_in if mat_in is not None
+          else kc.eval_material(mat_t, textures, st["cobj"], st["cu"],
+                                st["cv"], mat_T))
     nax, nay, naz = kc.rotate_from_z(cnx, cny, cnz,
                                      m3["tnx"], m3["tny"], m3["tnz"])
     sweep = geom.shadow_sweep(cpx, cpy, cpz, st["cprim"])
@@ -268,19 +281,21 @@ def _mc_kernel(o_ref, d_ref, unif_ref, order_ref, g1_ref, g2_ref, g3_ref,
         cdx=d[0], cdy=d[1], cdz=d[2],
     )
 
+    mat = None  # carried current-hit material (see mc_step)
     for step in range(depth):
-        st, dc = mc_step(
+        st, dc, mat = mc_step(
             geom, mat_t, mat_T, lights, n_light, textures,
             max_distance, max_retries, st,
             unif_ref[3 * step : 3 * step + 1, :],
             unif_ref[3 * step + 1 : 3 * step + 2, :],
             unif_ref[3 * step + 2 : 3 * step + 3, :],
+            mat_in=mat,
         )
         casts = casts + dc
 
     # depth exhausted: terminate with shade(self) (main.rs:524-527)
     ar, ag, ab, cnt = mc_terminal(geom, mat_t, mat_T, lights, n_light,
-                                  textures, st)
+                                  textures, st, mat_in=mat)
     casts = casts + cnt
 
     photon_ref[0:1, :] = ar

@@ -25,6 +25,19 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
+# Persistent XLA compile cache (round 5): the suite's dominant cost is
+# XLA-CPU compilation of the jitted render programs, re-paid every run
+# AND after every inter-module jax.clear_caches (the SIGSEGV mitigation
+# below).  The same cache layer bench.py uses on the TPU tunnel turns
+# those recompiles into disk hits; a separate default dir keeps CPU test
+# programs apart from the chip cache (override: RAYTPU_COMPILE_CACHE).
+from raytracer_tpu.utils.cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache(
+    os.environ.get("RAYTPU_COMPILE_CACHE",
+                   os.path.expanduser("~/.cache/raytracer_tpu_jax_cpu"))
+)
+
 import pytest  # noqa: E402
 
 
