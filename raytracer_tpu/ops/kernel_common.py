@@ -1141,15 +1141,22 @@ def _subgate(hit_box, ins, body, carry):
     n_sub = r // _SUB_W
     parts = []
     for s in range(n_sub):
-        sl = lambda a: jax.lax.slice_in_dim(
-            a, s * _SUB_W, (s + 1) * _SUB_W, axis=1
+        sl = lambda a: (
+            a if a.shape[1] != r  # [1,1] per-light scalars pass through
+            else jax.lax.slice_in_dim(a, s * _SUB_W, (s + 1) * _SUB_W,
+                                      axis=1)
         )
         ins_s = {k: sl(v) for k, v in ins.items()}
+        # ins rides as an explicit cond OPERAND, not a closure capture:
+        # captured [1, W] slices reach Mosaic with a replicated-sublane
+        # layout that its (1xW)->(CxW) broadcast lowering rejected on
+        # hardware ("Invalid input layout", r4 retreat); operands get
+        # concrete block-argument layouts.
         parts.append(jax.lax.cond(
             jnp.any(sl(hit_box)),
-            lambda c, i=ins_s: body(i, c),
-            lambda c: c,
-            {k: sl(v) for k, v in carry.items()},
+            lambda args: body(args[0], args[1]),
+            lambda args: args[1],
+            (ins_s, {k: sl(v) for k, v in carry.items()}),
         ))
     return {k: jnp.concatenate([p[k] for p in parts], axis=1)
             for k in carry}
