@@ -1126,6 +1126,20 @@ def sup_order_on(family: str) -> bool:
 # it by default.
 _SUB_W = int(os.environ.get("RT_SUBGATE", "0"))
 
+# Shadow algebra in the BLOCKED chunk bodies: the per-lane unnormalized-
+# direction form.  Two factored-constant variants were built and measured
+# on the chip (2026-08-21, 11k terrain MC epoch, 3-rep best):
+#   * factored constants computed IN the chunk body: 1196 ms vs 862 ms —
+#     (128,1)x(1,1) relayout chains per chunk per light swamp the saved
+#     [C,R] fmas;
+#   * constants precomputed in XLA and shipped as a [T_pad, 4L] operand
+#     the body row-slices: 876 ms vs 856 ms — no win; the blocked shadow
+#     cost is CHUNK-ENTRY-bound (slab unions over 3 light directions),
+#     not arithmetic-bound.
+# So the chunk bodies keep the simple per-lane algebra below, while the
+# DENSE sweep (one table pass per tile, no per-chunk granularity) keeps
+# the factored-target form (_ShadowSweep).
+
 
 def _subgate(hit_box, ins, body, carry):
     """Run `body(ins_slice, carry_slice) -> carry_slice` per SUB_W-lane
@@ -1540,15 +1554,18 @@ class _BlockedShadowSweep:
                             tx, ty, tz = i[f"tx{l}"], i[f"ty{l}"], i[f"tz{l}"]
                             limit = i[f"lim{l}"]
                             p = i[f"act{l}"] & (outs[L_keys[l]] == 0)
-                            c_fn = fn0 * tx + fn1 * ty + fn2 * tz
-                            no_d = c_fn - sr * o_fn
+                            # per-lane unnormalized-direction algebra
+                            # (see the module note above _subgate)
+                            dx = tx - sr * i["px"]
+                            dy = ty - sr * i["py"]
+                            dz = tz - sr * i["pz"]
+                            no_d = fn0 * dx + fn1 * dy + fn2 * dz
                             t = num / no_d
-                            ok = (no_d > 0.0) & num_pos & not_self
+                            ok = (no_d > 0.0) & (t > 0.0) & not_self
                             for e in range(3):
                                 g0, g1, g2, h = eg[e]
-                                c_g = g0 * tx + g1 * ty + g2 * tz + s * h
-                                ok = ok & (ogh[e]
-                                           + t * (c_g - sr * ogh[e]) >= 0.0)
+                                dg = g0 * dx + g1 * dy + g2 * dz
+                                ok = ok & (ogh[e] + t * dg >= 0.0)
                             ok = ok & p & jnp.isfinite(t) & (t < limit)
                             new[L_keys[l]] = outs[L_keys[l]] | jnp.any(
                                 ok, axis=0, keepdims=True).astype(jnp.int32)

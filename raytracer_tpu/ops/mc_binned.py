@@ -256,7 +256,7 @@ def _predict_out_dir(state, u_step, mats):
     )
     fx, fy, fz = kc.reflect3(sdx, sdy, sdz, nx, ny, nz)
     return (jnp.where(sel_f, sdx, fx), jnp.where(sel_f, sdy, fy),
-            jnp.where(sel_f, sdz, fz))
+            jnp.where(sel_f, sdz, fz), sel_f)
 
 
 def _sort_state(state, lo, inv_extent, u_step, mats, chunk_of_prim):
@@ -294,13 +294,19 @@ def _sort_state(state, lo, inv_extent, u_step, mats, chunk_of_prim):
             t = (state[r] - lo[axis]) * inv_extent[axis]
             q.append(jnp.clip((t * 8.0).astype(jnp.int32), 0, 7))
         locality = (q[0] << 6) | (q[1] << 3) | q[2]
-    pdx, pdy, pdz = _predict_out_dir(state, u_step, mats)
+    pdx, pdy, pdz, sel_f = _predict_out_dir(state, u_step, mats)
     octant = (
         (pdx < 0).astype(jnp.int32) << 2
         | (pdy < 0).astype(jnp.int32) << 1
         | (pdz < 0).astype(jnp.int32)
     )
-    key = jnp.where(dead, jnp.int32(1 << 30), (locality << 3) | octant)
+    # refract bit above the octant: the next bounce kernel's interior
+    # march is whole-tile (its TIR while_loop runs for the worst lane and
+    # its entry sweep is gated on any(refract lane)), so clustering the
+    # roulette's refract picks makes most tiles march-free
+    refr = sel_f.astype(jnp.int32)
+    key = jnp.where(dead, jnp.int32(1 << 30),
+                    (locality << 4) | (refr << 3) | octant)
     perm = jnp.argsort(key, stable=True)
     return state.T[perm].T
 

@@ -114,6 +114,13 @@ def mc_step(geom, mat_t, mat_T, lights, n_light: int, textures,
     excl_face_r = jnp.where(cback, FACE_FRONT, FACE_BACK)
 
     want_f = live & sel_f
+    # NOTE: for blocked geometries a march-free tile is already cheap
+    # without any outer cond — the interior sweep's chunk slab gates
+    # include the active mask (no want_f lane -> zero chunks entered)
+    # and the TIR while_loop exits on its first any(pending) check.
+    # The between-bounce refr-bit sort (mc_binned._sort_state) makes
+    # most tiles march-free.  (An explicit lax.cond around the blocked
+    # march was tried and blew Mosaic compile time up >20x.)
     mm = geom.march(cpx, cpy, cpz, cnx, cny, cnz, sdx, sdy, sdz,
                     m["refraction"], want_f, max_distance, max_retries)
     casts = mm["iters"]

@@ -42,6 +42,9 @@ def main() -> int:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--size", type=int, default=1024)
     ap.add_argument("--variants", default="full,noshadow,nomarch,nolobe,nomat")
+    ap.add_argument("--mesh", type=int, default=0, metavar="GRID",
+                    help="ablate the binned blocked path on mesh_scene(GRID)"
+                         " instead of the dense demo scene")
     args = ap.parse_args()
 
     from raytracer_tpu.utils.cache import enable_compile_cache
@@ -57,33 +60,49 @@ def main() -> int:
     from raytracer_tpu.utils.device import wait_for_device
 
     wait_for_device()
-    scene, textures = demo_scene()
-    camera = demo_camera()
+    if args.mesh:
+        from raytracer_tpu.scene.presets import mesh_scene
+
+        scene, textures, camera = mesh_scene(grid=args.mesh)
+    else:
+        scene, textures = demo_scene()
+        camera = demo_camera()
     cfg = RenderConfig(width=args.size, height=args.size, depth=5,
                        tile_rays=1 << 16)
     key = jax.random.PRNGKey(0)
 
+    import raytracer_tpu.ops.mc_binned as mb
+
     saved = dict(
         blocked_multi=kc._ShadowSweep.blocked_multi,
+        blocked_multi_b=kc._BlockedShadowSweep.blocked_multi,
         march_rows=kc.march_rows,
         acos=kc.acos,
         powf=kc.powf,
         eval_material=kc.eval_material,
+        sort_state=mb._sort_state,
     )
 
     def patch(name):
         # restore baseline first
         kc._ShadowSweep.blocked_multi = saved["blocked_multi"]
+        kc._BlockedShadowSweep.blocked_multi = saved["blocked_multi_b"]
         kc.march_rows = saved["march_rows"]
         kc.acos = saved["acos"]
         kc.powf = saved["powf"]
         kc.eval_material = saved["eval_material"]
+        mb._sort_state = saved["sort_state"]
         if name == "noshadow":
             def no_sweep(self, rays):
                 shape = (1, self.px.shape[1])
                 return [jnp.zeros(shape, jnp.int32) != 0 for _ in rays]
 
             kc._ShadowSweep.blocked_multi = no_sweep
+            kc._BlockedShadowSweep.blocked_multi = no_sweep
+        elif name == "nosort":
+            mb._sort_state = (
+                lambda state, lo, inv_extent, u_step, mats, cop: state
+            )
         elif name == "nomarch":
             def no_march(px, py, pz, nx0, ny0, nz0, dx0, dy0, dz0, k, want,
                          tri, sph, n_tri, n_sph, max_distance, max_retries,
@@ -112,22 +131,32 @@ def main() -> int:
 
             kc.eval_material = cheap_mat
 
+    from raytracer_tpu.render import render_distributed_epoch as rde
+
     out = {}
     for name in args.variants.split(","):
         patch(name)
         jax.clear_caches()
         t0 = time.time()
-        render_epochs(scene, textures, camera, cfg, key, args.epochs)
+        if args.mesh:  # single-epoch dispatches (batching loses here)
+            rde(scene, textures, camera, cfg, key)[0].block_until_ready()
+        else:
+            render_epochs(scene, textures, camera, cfg, key, args.epochs)
         log(f"{name}: compile+first {time.time() - t0:.1f}s")
         best = 1e9
         for r in range(args.reps):
             t0 = time.time()
-            _, st = render_epochs(scene, textures, camera, cfg,
-                                  jax.random.fold_in(key, 100 + r),
-                                  args.epochs)
-            dt = time.time() - t0
+            if args.mesh:
+                _, st = rde(scene, textures, camera, cfg,
+                            jax.random.fold_in(key, 100 + r))
+                dt = time.time() - t0
+            else:
+                _, st = render_epochs(scene, textures, camera, cfg,
+                                      jax.random.fold_in(key, 100 + r),
+                                      args.epochs)
+                dt = (time.time() - t0) / args.epochs
             best = min(best, dt)
-        out[name] = round(best / args.epochs * 1e3, 2)
+        out[name] = round(best * 1e3, 2)
         log(f"{name}: {out[name]} ms/epoch (casts={st['casts']})")
     patch("full")
     print(json.dumps(out))
