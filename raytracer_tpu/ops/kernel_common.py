@@ -1106,74 +1106,16 @@ def sup_order_on(family: str) -> bool:
         return _SUP_ORDER_DEFAULT[family]
     return _SUP_ORDER != "0"
 
-# Lane-subgroup gating width for the blocked chunk bodies (see _subgate).
-# The slab gates decide chunk entry per KERNEL TILE (any of R lanes), but
-# after the between-bounce sort a tile's lanes span several coherence
-# groups — often only a quarter of the tile actually enters a given
-# chunk.  Sub-gating runs the ~70-op triangle test per SUB_W-lane slice
-# under its own lax.cond, so the slices that miss the box skip the body;
-# results are bit-identical (a slice whose lanes all fail the slab test
-# provably contains no winner — same argument as the chunk gate).  The
-# chunk DMA and slab test stay at tile level, so HBM streaming cost is
-# unchanged.  0 disables (RT_SUBGATE env, read at import).
-#
-# DEFAULT OFF: on real-TPU Mosaic (measured 2026-08-20) the 128-lane
-# slice bodies fail to compile — `vector.broadcast (1x128) -> (128x128)`
-# with a replicated-sublane input layout inside the slice's lax.cond is
-# rejected ("Invalid input layout").  Interpret mode (the CPU test path)
-# accepts it, so the suite stays green while the knob exists; until the
-# Mosaic layout issue is fixed upstream the hardware path must not take
-# it by default.
-_SUB_W = int(os.environ.get("RT_SUBGATE", "0"))
-
-# Shadow algebra in the BLOCKED chunk bodies: the per-lane unnormalized-
-# direction form.  Two factored-constant variants were built and measured
-# on the chip (2026-08-21, 11k terrain MC epoch, 3-rep best):
-#   * factored constants computed IN the chunk body: 1196 ms vs 862 ms —
-#     (128,1)x(1,1) relayout chains per chunk per light swamp the saved
-#     [C,R] fmas;
-#   * constants precomputed in XLA and shipped as a [T_pad, 4L] operand
-#     the body row-slices: 876 ms vs 856 ms — no win; the blocked shadow
-#     cost is CHUNK-ENTRY-bound (slab unions over 3 light directions),
-#     not arithmetic-bound.
-# So the chunk bodies keep the simple per-lane algebra below, while the
-# DENSE sweep (one table pass per tile, no per-chunk granularity) keeps
-# the factored-target form (_ShadowSweep).
-
-
-def _subgate(hit_box, ins, body, carry):
-    """Run `body(ins_slice, carry_slice) -> carry_slice` per SUB_W-lane
-    subgroup, gated on any(hit_box) within the slice; pass-through when
-    gated off.  ins/carry: dicts of [rows, R] arrays; returns the updated
-    carry (lane slices re-concatenated).  The caller must already have
-    gated the whole-tile entry (the chunk lax.cond), so the fallback —
-    sub-gating disabled or R too narrow to split — is one ungated
-    full-width call."""
-    r = hit_box.shape[1]
-    if not _SUB_W or r <= _SUB_W:
-        return body(ins, carry)
-    n_sub = r // _SUB_W
-    parts = []
-    for s in range(n_sub):
-        sl = lambda a: (
-            a if a.shape[1] != r  # [1,1] per-light scalars pass through
-            else jax.lax.slice_in_dim(a, s * _SUB_W, (s + 1) * _SUB_W,
-                                      axis=1)
-        )
-        ins_s = {k: sl(v) for k, v in ins.items()}
-        # ins rides as an explicit cond OPERAND, not a closure capture:
-        # captured [1, W] slices reach Mosaic with a replicated-sublane
-        # layout that its (1xW)->(CxW) broadcast lowering rejected on
-        # hardware ("Invalid input layout", r4 retreat); operands get
-        # concrete block-argument layouts.
-        parts.append(jax.lax.cond(
-            jnp.any(sl(hit_box)),
-            lambda args: body(args[0], args[1]),
-            lambda args: args[1],
-            (ins_s, {k: sl(v) for k, v in carry.items()}),
-        ))
-    return {k: jnp.concatenate([p[k] for p in parts], axis=1)
-            for k in carry}
+# NOTE on sub-tile gating (RT_SUBGATE, removed in round 5): running the
+# blocked chunk bodies per 128-lane slice under per-slice lax.conds was
+# built in round 4 to cut dead-slice sweep work, but Mosaic rejects the
+# structure on real hardware — first "vector.broadcast (1x128) ->
+# (128x128) with replicated-sublane input layout: Invalid input layout"
+# (closure-captured slices), and after rebuilding the slices as explicit
+# cond operands, the same broadcast from a lane-offset-128 slice value.
+# Interpret mode accepts both, so the suite could not certify it.  Two
+# chip attempts, two layout rejections: the machinery is deleted rather
+# than carried as interpret-only dead code (VERDICT r4 weak #6/item 7).
 
 
 def _sup_at(order_ref, k, row8):
@@ -1341,7 +1283,7 @@ def blocked_full_sweep(o, d, face, excl_prim, excl_face, active,
                     obj=upd(col(32), st["obj"]),
                 )
 
-            return _subgate(hit_box, ins, body, st)
+            return body(ins, st)
 
         return jax.lax.cond(jnp.any(hit_box), enter, lambda s: s, st)
 
@@ -1555,7 +1497,7 @@ class _BlockedShadowSweep:
                             limit = i[f"lim{l}"]
                             p = i[f"act{l}"] & (outs[L_keys[l]] == 0)
                             # per-lane unnormalized-direction algebra
-                            # (see the module note above _subgate)
+                            # (see the blocked-shadow note above)
                             dx = tx - sr * i["px"]
                             dy = ty - sr * i["py"]
                             dz = tz - sr * i["pz"]
@@ -1571,7 +1513,7 @@ class _BlockedShadowSweep:
                                 ok, axis=0, keepdims=True).astype(jnp.int32)
                         return new
 
-                    return _subgate(enter_row, ins, body, outs)
+                    return body(ins, outs)
 
                 return jax.lax.cond(jnp.any(enter_row), enter,
                                     lambda o: o, outs)
@@ -1701,7 +1643,7 @@ def blocked_back_sweep(px, py, pz, dx, dy, dz, active, tblk_ref, boxes8_ref,
                             nx=upd(-nx, st["nx"]), ny=upd(-ny, st["ny"]),
                             nz=upd(-nz, st["nz"]))
 
-            return _subgate(hit_box, ins, body, st)
+            return body(ins, st)
 
         return jax.lax.cond(jnp.any(hit_box), enter, lambda s: s, st)
 
