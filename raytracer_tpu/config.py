@@ -61,12 +61,19 @@ class RenderConfig:
     # occupy capacity; their pressure is mostly a small-frame effect, so
     # trace_whitted adds a fixed `tail_slack` on top of the factor rather
     # than widening large frames.  Same counted-overflow contract.
-    tail_capacity: float = 1.375
-    tail_slack: int = 2048
+    # (r5: 1.375/2048 -> 1.25/4096 measured dropped=0 on every preset and
+    # bench scene; narrower tail = smaller level kernels + final delivery
+    # scatter, part of the +3% strict-step win with compact_group=32.)
+    tail_capacity: float = 1.25
+    tail_slack: int = 4096
     # Rays move through compaction in groups of this many (one scatter row
     # per group; TPU scatters pay ~8 ns per row, so coarser groups make
     # compaction ~group-times cheaper at some pool-occupancy cost).
-    compact_group: int = 8
+    # 0 = auto by tile size (ops/trace.py:_group): 32 for full bench-size
+    # tiles (r5 chip A/B at 1024^2 depth 5: +3.2% on the strict step,
+    # dropped=0), 8 for small tiles where live lanes are sparse and
+    # 32-wide groups overflow the pools (measured: 260 dropped at 64x48).
+    compact_group: int = 0
     # f32 everywhere (geometry needs it); kept as a knob for experiments.
     dtype: str = "float32"
 

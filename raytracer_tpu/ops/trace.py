@@ -356,6 +356,12 @@ def _compact(candidates: Pool, k: int, group: int = 8):
     return pool, dropped
 
 
+def _group(cfg, n: int) -> int:
+    """Compaction group width (config.compact_group; 0 = auto by tile
+    size — coarse groups win on full tiles, overflow sparse small ones)."""
+    return cfg.compact_group or (32 if n >= (1 << 16) else 8)
+
+
 class TraceResult(NamedTuple):
     color: jnp.ndarray  # [N, 3]
     casts: jnp.ndarray  # scalar: total rays cast (incl. shadows + marches)
@@ -460,6 +466,7 @@ def _trace_whitted_packed(scene, textures, ray_o, ray_d, cfg, interp):
 
     n = ray_o.shape[0]
     k = max(128, -(-int(n * cfg.capacity_factor) // 128) * 128)
+    group = _group(cfg, n)
     casts = jnp.zeros((), jnp.int32)
     dropped = jnp.zeros((), jnp.int32)
 
@@ -479,7 +486,7 @@ def _trace_whitted_packed(scene, textures, ray_o, ray_d, cfg, interp):
     if pad > 0:
         cands = jnp.pad(cands, [(0, 0), (0, pad)])
     elif pad < 0:
-        cands, drop = _compact_packed(cands, k, cfg.compact_group)
+        cands, drop = _compact_packed(cands, k, group)
         dropped = dropped + drop
     last1 = cfg.depth == 1
     contrib, rch, fch, c1 = level(cands, last1, doubled or last1)
@@ -496,7 +503,7 @@ def _trace_whitted_packed(scene, textures, ray_o, ray_d, cfg, interp):
         128, -(-(int(n * cfg.deep_capacity) + cfg.deep_slack) // 128) * 128
     )
     pool2, drop = _compact_packed(
-        jnp.concatenate([rch, fch], axis=1), k2, cfg.compact_group
+        jnp.concatenate([rch, fch], axis=1), k2, group
     )
     dropped = dropped + drop
     last2 = cfg.depth == 2
@@ -512,7 +519,7 @@ def _trace_whitted_packed(scene, textures, ray_o, ray_d, cfg, interp):
         128, -(-(int(n * cfg.tail_capacity) + cfg.tail_slack) // 128) * 128
     )
     pool3, drop = _compact_packed(
-        jnp.concatenate([rch, fch], axis=1), k3, cfg.compact_group
+        jnp.concatenate([rch, fch], axis=1), k3, group
     )
     dropped = dropped + drop
 
@@ -520,7 +527,7 @@ def _trace_whitted_packed(scene, textures, ray_o, ray_d, cfg, interp):
         pool, casts, dropped = state
         _, rch, fch, ci = level(pool, False, False)
         pool, drop = _compact_packed(
-            jnp.concatenate([rch, fch], axis=1), k3, cfg.compact_group
+            jnp.concatenate([rch, fch], axis=1), k3, group
         )
         return pool, casts + ci, dropped + drop
 
@@ -672,6 +679,7 @@ def trace_whitted(
                                      interp)
     n = ray_o.shape[0]
     k = max(128, -(-int(n * cfg.capacity_factor) // 128) * 128)
+    group = _group(cfg, n)
 
     img = jnp.zeros((n, 3), ray_o.dtype)
     casts = jnp.zeros((), jnp.int32)
@@ -707,7 +715,7 @@ def trace_whitted(
         )
     elif pad < 0:
         # capacity below 2: compact the level-0 candidates after all
-        cands, drop = _compact(cands, k, cfg.compact_group)
+        cands, drop = _compact(cands, k, group)
         dropped = dropped + drop
     cands, img, casts = _process_level(
         scene, textures, cfg, cands, img, casts, last=(cfg.depth == 1),
@@ -723,7 +731,7 @@ def trace_whitted(
         128, -(-(int(n * cfg.deep_capacity) + cfg.deep_slack) // 128) * 128
     )
 
-    pool2, drop = _compact(cands, k2, cfg.compact_group)  # level-2 entry
+    pool2, drop = _compact(cands, k2, group)  # level-2 entry
     dropped = dropped + drop
     cands, img, casts = _process_level(
         scene, textures, cfg, pool2, img, casts, last=(cfg.depth == 2),
@@ -738,7 +746,7 @@ def trace_whitted(
     k3 = max(
         128, -(-(int(n * cfg.tail_capacity) + cfg.tail_slack) // 128) * 128
     )
-    pool3, drop = _compact(cands, k3, cfg.compact_group)
+    pool3, drop = _compact(cands, k3, group)
     dropped = dropped + drop
 
     def level_body(i, state):
@@ -747,7 +755,7 @@ def trace_whitted(
             scene, textures, cfg, pool, img, casts, last=False,
             identity_slots=False,
         )
-        pool, drop = _compact(cands, k3, cfg.compact_group)
+        pool, drop = _compact(cands, k3, group)
         dropped = dropped + drop
         return pool, img, casts, dropped
 

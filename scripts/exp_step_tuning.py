@@ -53,11 +53,13 @@ def main() -> int:
 
     variants = {
         "base": {},
-        "group16": {"compact_group": 16},
-        "group32": {"compact_group": 32},
-        "group16_wide": {"compact_group": 16, "tail_capacity": 1.5,
-                         "deep_capacity": 1.5},
-        "narrow_tail": {"tail_capacity": 1.25, "tail_slack": 4096},
+        "group32_narrow": {"compact_group": 32, "tail_capacity": 1.25,
+                           "tail_slack": 4096},
+        "group32_narrow2": {"compact_group": 32, "tail_capacity": 1.25,
+                            "tail_slack": 4096, "deep_capacity": 1.3,
+                            "deep_slack": 4096},
+        "group64_narrow": {"compact_group": 64, "tail_capacity": 1.25,
+                           "tail_slack": 8192},
     }
     out = {}
     for name, kw in variants.items():
