@@ -199,7 +199,7 @@ def render_whitted_sharded(
     every device traces a distinct slice of the frame (the stochastic pass
     re-uses the same mesh with sp as its sample axis)."""
     dp = mesh.shape["dp"] * mesh.shape["sp"]
-    clips, _perm, inv = sharded_clips(cfg, dp, scene.blk_perm is not None)
+    clips, _perm, inv = sharded_clips(cfg, dp, True)
     color, casts, dropped = _whitted_sharded(
         scene, camera, jnp.asarray(clips), textures, cfg, mesh
     )
@@ -249,7 +249,7 @@ def render_mc_epoch_sharded(
 ):
     """One sample-parallel stochastic epoch: |sp| samples per pixel."""
     dp = mesh.shape["dp"]
-    clips, _perm, inv = sharded_clips(cfg, dp, scene.blk_perm is not None)
+    clips, _perm, inv = sharded_clips(cfg, dp, True)
     photons, casts, filtered = _mc_epoch_sharded(
         scene, camera, jnp.asarray(clips), key, textures, cfg, mesh
     )

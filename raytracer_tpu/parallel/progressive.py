@@ -279,7 +279,7 @@ def render_progressive(
     n_pix = cfg.width * cfg.height
     if mesh is None:
         clips_tiled, _, inv = _tiled_clips(
-            cfg, block_order=scene.blk_perm is not None
+            cfg, block_order=True
         )
     else:
         # Sharded fused-step setup: flat accumulator + clip grid laid out
@@ -293,7 +293,7 @@ def render_progressive(
         )
 
         clips_np, perm_s, inv_s = sharded_clips(
-            cfg, mesh.shape["dp"], scene.blk_perm is not None
+            cfg, mesh.shape["dp"], True
         )
         dp_sharding = NamedSharding(mesh, P("dp"))
         clips_dev = jax.device_put(jnp.asarray(clips_np), dp_sharding)

@@ -152,7 +152,7 @@ def render_whitted(
     """Whitted pass over the full frame.  Returns ([H, W, 3], stats)."""
     n = cfg.width * cfg.height
     clips_tiled, pad, inv = _tiled_clips(
-        cfg, block_order=scene.blk_perm is not None
+        cfg, block_order=True
     )
     colors, counters = _whitted_frame(scene, camera, clips_tiled,
                                       textures, cfg)
@@ -189,7 +189,7 @@ def render_step(
     ([H,W,3] whitted, [H,W,3] photons, stats)."""
     n = cfg.width * cfg.height
     clips_tiled, pad, inv = _tiled_clips(
-        cfg, block_order=scene.blk_perm is not None
+        cfg, block_order=True
     )
     colors, photons, counters = _step_frame(scene, camera, clips_tiled, key,
                                             textures, cfg)
@@ -254,7 +254,7 @@ def render_steps(
     images plus counters summed over all steps."""
     n = cfg.width * cfg.height
     clips_tiled, pad, inv = _tiled_clips(
-        cfg, block_order=scene.blk_perm is not None
+        cfg, block_order=True
     )
     colors, photons, counters = _steps_frame(
         scene, camera, clips_tiled, key, textures, cfg, n_steps
@@ -312,7 +312,7 @@ def render_epochs(
     [H, W, 3] plus counters summed over all epochs."""
     n = cfg.width * cfg.height
     clips_tiled, pad, inv = _tiled_clips(
-        cfg, block_order=scene.blk_perm is not None
+        cfg, block_order=True
     )
     accum, counters = _epochs_frame(
         scene, camera, clips_tiled, key, textures, cfg, n_epochs
@@ -340,7 +340,7 @@ def render_distributed_epoch(
     """
     n = cfg.width * cfg.height
     clips_tiled, pad, inv = _tiled_clips(
-        cfg, block_order=scene.blk_perm is not None
+        cfg, block_order=True
     )
     photons, counters = _mc_frame(scene, camera, clips_tiled, key,
                                   textures, cfg)

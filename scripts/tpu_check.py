@@ -149,7 +149,7 @@ def sharded_smoke(kind: str = "demo"):
     assert stats["dropped"] == 0, stats
 
     clips, _perm, _inv = sharded_clips(
-        cfg, mesh.shape["dp"], scene.blk_perm is not None
+        cfg, mesh.shape["dp"], True
     )
     sharding = NamedSharding(mesh, P("dp"))
     clips_d = jax.device_put(jnp.asarray(clips), sharding)

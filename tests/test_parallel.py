@@ -126,10 +126,14 @@ def test_whitted_sharded_depth5_glass_scene():
 
 def test_mc_epoch_sharded_matches_serial_same_keys():
     """The sharded MC epoch equals a serial single-device recomputation
-    with the SAME per-(dp, sp)-rank folded keys: the mesh adds psum
-    reduction order, nothing else."""
+    with the SAME per-(dp, sp)-rank folded keys AND the same block-major
+    clip tiling (every frame renders in block order as of round 5, so
+    the pixel->lane assignment — which fixes each lane's lens/path
+    draws — must be mirrored): the mesh adds psum reduction order,
+    nothing else."""
     from raytracer_tpu.ops import camera as camera_ops
     from raytracer_tpu.ops.distributed import trace_distributed
+    from raytracer_tpu.parallel.mesh import sharded_clips
 
     scene, textures = spheres_scene()
     cfg = RenderConfig(width=16, height=8, depth=2, tile_rays=16 * 8)
@@ -140,7 +144,7 @@ def test_mc_epoch_sharded_matches_serial_same_keys():
     )
 
     dp, sp = mesh.shape["dp"], mesh.shape["sp"]
-    clips, _ = _pad_to(clip_coords(cfg.width, cfg.height), dp)
+    clips, _perm, inv = sharded_clips(cfg, dp, True)
     shard = clips.shape[0] // dp
     camera = demo_camera()
     total = np.zeros((clips.shape[0], 3), np.float32)
@@ -157,7 +161,7 @@ def test_mc_epoch_sharded_matches_serial_same_keys():
             res = trace_distributed(scene, textures, o, d, k_path, cfg)
             total[di * shard : (di + 1) * shard] += np.asarray(res.photon)
     n = cfg.width * cfg.height
-    expect = total[:n].reshape(cfg.height, cfg.width, 3)
+    expect = total[:n][inv].reshape(cfg.height, cfg.width, 3)
     np.testing.assert_allclose(np.asarray(img_s), expect, atol=1e-5, rtol=1e-4)
 
 
