@@ -58,6 +58,7 @@ def test_blocked_tables(mesh):
     validate_blocked(perm, boxes, np.asarray(scene.tri_v))
 
 
+@pytest.mark.heavy  # exhaustive interpret-mode parity; quick tier keeps a small-shape guard
 def test_blocked_streams_above_vmem_limit():
     """Scenes past STREAM_BLK_TRIS (16,384) still get blocked tables; the
     fused kernels keep the table in HBM and DMA chunks into a VMEM scratch
@@ -86,6 +87,7 @@ def _close_fraction(a, b):
     return np.all(np.abs(a - b) <= 1e-3 + 2e-2 * np.abs(b), axis=-1).mean()
 
 
+@pytest.mark.heavy  # exhaustive interpret-mode parity; quick tier keeps a small-shape guard
 def test_blocked_whitted_matches_dense_jnp(mesh):
     scene, textures, cam = mesh
     clips = jnp.asarray(clip_coords(32, 24))
@@ -106,6 +108,7 @@ def test_blocked_whitted_matches_dense_jnp(mesh):
     assert int(got.dropped) == 0 and int(ref.dropped) == 0
 
 
+@pytest.mark.heavy  # exhaustive interpret-mode parity; quick tier keeps a small-shape guard
 def test_blocked_whitted_matches_xla_bvh(mesh):
     """The jnp fallback on the SAME blocked scene (XLA gather traversal)
     agrees with the blocked kernels — pins the two large-mesh paths to
@@ -121,6 +124,7 @@ def test_blocked_whitted_matches_xla_bvh(mesh):
     assert frac >= 0.97, f"only {frac:.4f} of pixels agree"
 
 
+@pytest.mark.heavy  # exhaustive interpret-mode parity; quick tier keeps a small-shape guard
 def test_blocked_mc_matches_dense_jnp(mesh):
     scene, textures, cam = mesh
     clips = jnp.asarray(clip_coords(24, 24))

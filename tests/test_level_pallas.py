@@ -27,6 +27,7 @@ def _trace(mode, scene, textures, o, d, cfg):
 
 
 @pytest.mark.parametrize("scene_fn", [demo_scene, spheres_scene])
+@pytest.mark.heavy  # exhaustive interpret-mode parity; quick tier keeps a small-shape guard
 def test_fused_level_matches_jnp_whitted(scene_fn):
     scene, textures = scene_fn()
     cam = demo_camera()
@@ -55,6 +56,7 @@ def test_fused_level_matches_jnp_whitted(scene_fn):
     assert int(got.dropped) == 0 and int(ref.dropped) == 0
 
 
+@pytest.mark.heavy  # exhaustive interpret-mode parity; quick tier keeps a small-shape guard
 def test_fused_level_depths():
     scene, textures = demo_scene()
     cam = demo_camera()

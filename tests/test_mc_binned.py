@@ -40,7 +40,11 @@ def _unifs(key, depth, n):
     return jnp.stack(draws)
 
 
-@pytest.mark.parametrize("depth", [1, 3])
+@pytest.mark.parametrize(
+    "depth",
+    [1, pytest.param(3, marks=pytest.mark.heavy)],  # depth-3 walk is the
+    # exhaustive variant; the quick tier keeps the depth-1 lane-exact gate
+)
 def test_binned_matches_mega_kernel(mesh, depth):
     scene, textures, cam = mesh
     w, h = 24, 16
@@ -69,6 +73,7 @@ def test_binned_matches_mega_kernel(mesh, depth):
     assert int(c_mega) == int(c_bin)
 
 
+@pytest.mark.heavy  # exhaustive interpret-mode parity; quick tier keeps a small-shape guard
 def test_render_epochs_routes_blocked_scene_through_binned(mesh, monkeypatch):
     """render_epochs (K MC epochs in one fori dispatch) over a blocked
     scene must equal the sum of K render_distributed_epoch calls when the

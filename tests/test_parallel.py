@@ -175,7 +175,7 @@ def test_blocked_mesh_sharded_matches_single_device():
 
     scene, textures, camera = mesh_scene(grid=24)
     assert scene.blk_perm is not None  # really the blocked path
-    cfg = RenderConfig(width=64, height=32, depth=3, tile_rays=2048)
+    cfg = RenderConfig(width=32, height=16, depth=2, tile_rays=512)
     img_1, stats_1 = render_whitted(scene, textures, camera, cfg)
     mesh = make_render_mesh(8)  # dp=4, sp=2: both axes exercised
     img_s, stats_s = render_whitted_sharded(scene, textures, camera, cfg,
@@ -237,7 +237,7 @@ def test_blocked_mesh_mc_sharded_binned_parity(monkeypatch):
     scene, textures, camera = mesh_scene(grid=24)
     assert scene.blk_perm is not None
     assert scene.n_tri >= 64  # really the binned path now
-    cfg = RenderConfig(width=32, height=16, depth=2, tile_rays=512)
+    cfg = RenderConfig(width=16, height=8, depth=1, tile_rays=128)
     mesh = make_render_mesh(8)  # dp=4, sp=2
     key = jax.random.PRNGKey(13)
     img_s, stats = render_mc_epoch_sharded(

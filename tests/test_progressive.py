@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pytest
 
 from raytracer_tpu.config import RenderConfig
 from raytracer_tpu.parallel.progressive import load_checkpoint, render_progressive
@@ -177,6 +178,7 @@ def test_png_every_with_mesh_matches_per_epoch(tmp_path):
     assert close.mean() >= 0.95, f"only {close.mean():.3f} pixels agree"
 
 
+@pytest.mark.heavy  # exhaustive interpret-mode parity; quick tier keeps a small-shape guard
 def test_progressive_mesh_blocked_resume_roundtrip(tmp_path):
     """Sharded progressive driver on a BLOCKED scene: the dp-sharded
     accumulator lives in 32x16 block-major order (parallel/mesh.
@@ -213,6 +215,7 @@ def test_progressive_mesh_blocked_resume_roundtrip(tmp_path):
     assert np.isfinite(np.asarray(b.img)).all()
 
 
+@pytest.mark.heavy  # exhaustive interpret-mode parity; quick tier keeps a small-shape guard
 def test_png_every_blocked_scene_tile_order(tmp_path):
     """Blocked scenes tile their clips in 32x16 block order, so the group
     path's carried accumulator is PERMUTED relative to image order — this
