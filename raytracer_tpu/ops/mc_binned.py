@@ -42,7 +42,7 @@ from raytracer_tpu.ops import mc_pallas as mp
 from raytracer_tpu.ops.intersect_pallas import TILE_R, pack_sph
 from raytracer_tpu.scene.types import Scene
 
-N_ST = mp.N_ST
+N_ST = mp.N_ST_DEF  # walk state + deferred-shade rows (mc_step_deferred)
 _INT_ROWS = mp._ST_INT
 
 # Blocked scenes at or above this triangle count route MC epochs through
@@ -81,7 +81,7 @@ def _f(x):
 
 
 def _st_from_rows(st_ref):
-    """Unpack a [N_ST, R] ref/array into the mc_step state dict."""
+    """Unpack a [N_ST, R] ref/array into the mc_step_deferred state dict."""
     g = lambda r: st_ref[r : r + 1, :]
     return dict(
         alive=_iload(st_ref, mp.ST_ALIVE) != 0,
@@ -94,6 +94,7 @@ def _st_from_rows(st_ref):
         cobj=_iload(st_ref, mp.ST_OBJ),
         cback=_iload(st_ref, mp.ST_BACK) != 0,
         cdx=g(mp.ST_DX), cdy=g(mp.ST_DY), cdz=g(mp.ST_DZ),
+        df=g(mp.ST_DF), pr=g(mp.ST_PR), pg=g(mp.ST_PG), pb=g(mp.ST_PB),
     )
 
 
@@ -106,7 +107,9 @@ def _write_state(out_ref, st, slot_i32):
                  (mp.ST_PX, "cpx"), (mp.ST_PY, "cpy"), (mp.ST_PZ, "cpz"),
                  (mp.ST_NX, "cnx"), (mp.ST_NY, "cny"), (mp.ST_NZ, "cnz"),
                  (mp.ST_U, "cu"), (mp.ST_V, "cv"),
-                 (mp.ST_DX, "cdx"), (mp.ST_DY, "cdy"), (mp.ST_DZ, "cdz")):
+                 (mp.ST_DX, "cdx"), (mp.ST_DY, "cdy"), (mp.ST_DZ, "cdz"),
+                 (mp.ST_DF, "df"), (mp.ST_PR, "pr"), (mp.ST_PG, "pg"),
+                 (mp.ST_PB, "pb")):
         out_ref[r : r + 1, :] = st[k]
     out_ref[mp.ST_PRIM : mp.ST_PRIM + 1, :] = _f(st["cprim"])
     out_ref[mp.ST_OBJ : mp.ST_OBJ + 1, :] = _f(st["cobj"])
@@ -145,6 +148,7 @@ def _primary_kernel(o_ref, d_ref, slot_ref, order_ref, g1_ref, g2_ref,
         cnx=h["nx"], cny=h["ny"], cnz=h["nz"], cu=h["u"], cv=h["v"],
         cprim=h["prim"], cobj=h["obj"], cback=h["backface"],
         cdx=d[0], cdy=d[1], cdz=d[2],
+        df=zero, pr=zero, pg=zero, pb=zero,  # nothing deferred yet
     )
     _write_state(st_ref, st, _iload(slot_ref, 0))
     casts_ref[:, :] = jnp.ones(shape, jnp.int32)
@@ -154,8 +158,10 @@ def _bounce_kernel(st_in_ref, unif_ref, order_ref, g1_ref, g2_ref, g3_ref,
                    sph_ref, mat_ref, mat_T_ref, light_ref, st_out_ref,
                    casts_ref, *scratch, n_chunks: int, n_tri: int,
                    n_sph: int, n_light: int, max_distance: float,
-                   max_retries: int, textures):
-    """One mc_step bounce over a state tile; dead tiles pass through."""
+                   max_retries: int, textures, first: bool):
+    """One deferred-shading bounce over a state tile (mc_step_deferred;
+    `first` statically skips the deferred sweep on bounce 0); dead tiles
+    pass through."""
     any_alive = jnp.any(_iload(st_in_ref, mp.ST_ALIVE) != 0)
     # program_id is only lowerable at kernel top level (kc._order_row);
     # the pl.when bodies below must not read it themselves
@@ -166,10 +172,11 @@ def _bounce_kernel(st_in_ref, unif_ref, order_ref, g1_ref, g2_ref, g3_ref,
         geom = _geom_of(g1_ref, g2_ref, g3_ref, sph_ref, scratch, n_tri,
                         n_sph, n_chunks, order_ref, row8)
         st = _st_from_rows(st_in_ref)
-        new_st, dc, _mat = mp.mc_step(
+        new_st, dc = mp.mc_step_deferred(
             geom, mat_ref[:, :], mat_T_ref[:, :], light_ref[:, :], n_light,
             textures, max_distance, max_retries, st,
             unif_ref[0:1, :], unif_ref[1:2, :], unif_ref[2:3, :],
+            first=first,
         )
         _write_state(st_out_ref, new_st, _iload(st_in_ref, mp.ST_SLOT))
         casts_ref[:, :] = dc
@@ -183,9 +190,11 @@ def _bounce_kernel(st_in_ref, unif_ref, order_ref, g1_ref, g2_ref, g3_ref,
 def _terminal_kernel(st_ref, order_ref, g1_ref, g2_ref, g3_ref, sph_ref,
                      mat_ref, mat_T_ref, light_ref, photon_ref, casts_ref,
                      *scratch, n_chunks: int, n_tri: int, n_sph: int,
-                     n_light: int, textures):
-    """Depth-exhausted terminal shade (main.rs:524-527); photons come out
-    in the CURRENT (sorted) lane order — the caller scatters by slot."""
+                     n_light: int, textures, first: bool):
+    """Depth-exhausted terminal shade (main.rs:524-527) + the last
+    bounce's deferred hit-shade in ONE sweep (mc_terminal_deferred);
+    photons come out in the CURRENT (sorted) lane order — the caller
+    scatters by slot."""
     any_alive = jnp.any(_iload(st_ref, mp.ST_ALIVE) != 0)
     row8 = kc._order_row(order_ref, "binned")  # top level only, see _bounce_kernel
 
@@ -194,9 +203,9 @@ def _terminal_kernel(st_ref, order_ref, g1_ref, g2_ref, g3_ref, sph_ref,
         geom = _geom_of(g1_ref, g2_ref, g3_ref, sph_ref, scratch, n_tri,
                         n_sph, n_chunks, order_ref, row8)
         st = _st_from_rows(st_ref)
-        ar, ag, ab, cnt = mp.mc_terminal(
+        ar, ag, ab, cnt = mp.mc_terminal_deferred(
             geom, mat_ref[:, :], mat_T_ref[:, :], light_ref[:, :], n_light,
-            textures, st,
+            textures, st, first=first,
         )
         photon_ref[0:1, :] = ar
         photon_ref[1:2, :] = ag
@@ -439,14 +448,15 @@ def trace(scene: Scene, textures, ray_o, ray_d, unifs, depth: int,
          n_chunks + jnp.arange(max(scene.n_sph, 1), dtype=jnp.int32)]
     )
 
-    bk = functools.partial(
+    bk_base = functools.partial(
         _bounce_kernel, n_chunks=n_chunks, n_tri=scene.n_tri,
         n_sph=scene.n_sph, n_light=scene.n_light,
         max_distance=max_distance, max_retries=max_retries,
         textures=textures,
     )
 
-    def bounce(state, u_step):
+    def bounce(state, u_step, first):
+        bk = functools.partial(bk_base, first=first)
         # gather this bounce's 3 uniform rows by carried slot id
         slot = jax.lax.bitcast_convert_type(
             state[mp.ST_SLOT], jnp.int32
@@ -473,12 +483,13 @@ def trace(scene: Scene, textures, ray_o, ray_d, unifs, depth: int,
     for step in range(depth):
         state = _sort_state(state, lo, inv_extent, u_pad[step], mats,
                             chunk_of_prim)
-        state, dc = bounce(state, u_pad[step])
+        state, dc = bounce(state, u_pad[step], first=(step == 0))
         casts = casts + jnp.sum(dc)
 
     tk = functools.partial(
         _terminal_kernel, n_chunks=n_chunks, n_tri=scene.n_tri,
         n_sph=scene.n_sph, n_light=scene.n_light, textures=textures,
+        first=(depth == 0),
     )
     photon_rows, dc = pl.pallas_call(
         tk,

@@ -48,6 +48,11 @@ ST_DX, ST_DY, ST_DZ = 18, 19, 20
 ST_SLOT = 21  # int
 N_ST = 22
 _ST_INT = (ST_ALIVE, ST_PRIM, ST_OBJ, ST_BACK, ST_SLOT)
+# Deferred-shading extension rows (mc_step_deferred, binned path only):
+# blend factor f = select(is_rb, 0.5, decay) and the PRE-update scale of
+# the bounce that deferred its hit-shade.
+ST_DF, ST_PR, ST_PG, ST_PB = 22, 23, 24, 25
+N_ST_DEF = 26
 
 
 def mc_step(geom, mat_t, mat_T, lights, n_light: int, textures,
@@ -222,6 +227,223 @@ def mc_step(geom, mat_t, mat_T, lights, n_light: int, textures,
         cdx=adv_dx, cdy=adv_dy, cdz=adv_dz,
     )
     return new_st, casts, m2
+
+
+def mc_step_deferred(geom, mat_t, mat_T, lights, n_light: int, textures,
+                     max_distance: float, max_retries: int, st: dict,
+                     u_sel, u_phi, theta, first: bool):
+    """mc_step with DEFERRED hit shading (binned per-bounce path only).
+
+    The binned path sorts lanes by the chunk of the CURRENT hit between
+    bounces (mc_binned._sort_state); mc_step however shades the NEXT hit
+    — one segment past what the sort clustered — so its shadow sweeps
+    traverse from unclustered origins (measured: the largest component
+    of the 11k MC epoch).  This variant moves each hit's shade to the
+    bounce where that hit is CURRENT (i.e. right after the sort that
+    clustered it):
+
+      * entry: one shade sweep at the current hit applies the DEFERRED
+        contribution carried from the previous bounce —
+        accum += sr_prev * (f * shade(current)), with f =
+        select(is_rb, 0.5, decay) carried in `df` and the PRE-update
+        scale in `pr/pg/pb`.  Skipped statically on the first bounce
+        (`first=True`: nothing is deferred yet).
+      * after the advance cast: miss lanes (scattered self-shade,
+        main.rs:571-573/590-592) shade immediately — their shade
+        position is the current hit too, so this sweep is also
+        clustered and its active set is small.
+      * surviving lanes defer: df' = select(is_rb, 0.5, decay),
+        pr' = sr (pre-update), applied by the NEXT bounce or the
+        terminal.
+
+    Bit-identical photons to mc_step (select distributes over multiply;
+    per-lane accumulation order is unchanged) and identical cast
+    counters (each reference shade's shadow considers are counted at
+    the kernel that performs — or, at the shared terminal sweep,
+    accounts for — them).  tests/test_mc_binned.py pins this against
+    the mega-kernel lane for lane.
+    """
+    alive = st["alive"]
+    ar, ag, ab = st["ar"], st["ag"], st["ab"]
+    sr, sg, sb = st["sr"], st["sg"], st["sb"]
+    cpx, cpy, cpz = st["cpx"], st["cpy"], st["cpz"]
+    cnx, cny, cnz = st["cnx"], st["cny"], st["cnz"]
+    cu, cv = st["cu"], st["cv"]
+    cprim, cobj, cback = st["cprim"], st["cobj"], st["cback"]
+    cdx, cdy, cdz = st["cdx"], st["cdy"], st["cdz"]
+    shape = alive.shape
+    front = jnp.zeros(shape, jnp.int32)
+
+    m = kc.eval_material(mat_t, textures, cobj, cu, cv, mat_T)
+    # adjusted normal at the current hit — shared by the deferred and the
+    # miss-self shade (identical expressions to mc_step's m2-based ones:
+    # the current material IS last bounce's next-hit sample)
+    nax, nay, naz = kc.rotate_from_z(cnx, cny, cnz,
+                                     m["tnx"], m["tny"], m["tnz"])
+    casts = jnp.zeros(shape, jnp.int32)
+
+    if not first:
+        # deferred contribution from the previous bounce (its hit-shade,
+        # view = the direction the advance cast arrived along = -cd)
+        sweep1 = geom.shadow_sweep(cpx, cpy, cpz, cprim)
+        dr, dg_, db_, cnt1 = kc.get_shade(
+            m, lights, cpx, cpy, cpz, nax, nay, naz,
+            -cdx, -cdy, -cdz, alive, sweep1, n_light,
+        )
+        casts = casts + cnt1
+        df = st["df"]
+        ar = ar + jnp.where(alive, st["pr"] * (df * dr), 0.0)
+        ag = ag + jnp.where(alive, st["pg"] * (df * dg_), 0.0)
+        ab = ab + jnp.where(alive, st["pb"] * (df * db_), 0.0)
+
+    w0 = (1.0 - m["shiness"]) * (1.0 - m["transparency"])
+    w1 = m["shiness"] * (1.0 - m["transparency"])
+    w2 = m["transparency"]
+    r = u_sel * (w0 + w1 + w2)
+    sel_d = r < w0
+    sel_r = ~sel_d & (r < w0 + w1)
+    sel_f = ~sel_d & ~sel_r
+
+    expo = jnp.where(sel_d, 1.0, m["smoothness"])
+    axx = jnp.where(sel_d, -cnx, cdx)
+    axy = jnp.where(sel_d, -cny, cdy)
+    axz = jnp.where(sel_d, -cnz, cdz)
+    axx, axy, axz = kc.normalize3(axx, axy, axz)
+    phi = kc.acos(kc.powf(1.0 - u_phi, expo))
+    sp = jnp.sin(phi)
+    lx = sp * jnp.cos(theta)
+    ly = sp * jnp.sin(theta)
+    lz = jnp.cos(phi)
+    sdx, sdy, sdz = kc.rotate_from_z(axx, axy, axz, lx, ly, lz)
+
+    cosine = -(cnx * sdx + cny * sdy + cnz * sdz)
+    live = alive & (cosine > 0.0)
+
+    fx, fy, fz = kc.reflect3(sdx, sdy, sdz, cnx, cny, cnz)
+    excl_face_r = jnp.where(cback, FACE_FRONT, FACE_BACK)
+
+    want_f = live & sel_f
+    mm = geom.march(cpx, cpy, cpz, cnx, cny, cnz, sdx, sdy, sdz,
+                    m["refraction"], want_f, max_distance, max_retries)
+    casts = casts + mm["iters"]
+
+    adv_ox = jnp.where(sel_f, mm["ex"], cpx)
+    adv_oy = jnp.where(sel_f, mm["ey"], cpy)
+    adv_oz = jnp.where(sel_f, mm["ez"], cpz)
+    adv_dx = jnp.where(sel_f, mm["odx"], fx)
+    adv_dy = jnp.where(sel_f, mm["ody"], fy)
+    adv_dz = jnp.where(sel_f, mm["odz"], fz)
+    adv_excl_prim = jnp.where(sel_f, mm["prim"], cprim)
+    adv_excl_face = jnp.where(sel_f, FACE_BACK, excl_face_r)
+    adv_active = live & (~sel_f | mm["escaped"])
+
+    nxt = geom.nearest(
+        (adv_ox, adv_oy, adv_oz), (adv_dx, adv_dy, adv_dz),
+        front, adv_excl_prim, adv_excl_face, adv_active,
+    )
+    casts = casts + adv_active.astype(jnp.int32)
+    use_next = nxt["valid"]
+
+    is_rb = ~sel_f
+    # miss lanes shade the scattered SELF immediately (their position is
+    # the current hit — already clustered; refract-escape misses are
+    # black, main.rs:607): view = -scattered direction, hit_scale = 1
+    ns_miss = adv_active & ~use_next & is_rb
+    sweep2 = geom.shadow_sweep(cpx, cpy, cpz, cprim)
+    shr, shg, shb, cnt2 = kc.get_shade(
+        m, lights, cpx, cpy, cpz, nax, nay, naz,
+        -sdx, -sdy, -sdz, ns_miss, sweep2, n_light,
+    )
+    casts = casts + cnt2
+    ar = ar + jnp.where(ns_miss, sr * shr, 0.0)
+    ag = ag + jnp.where(ns_miss, sg * shg, 0.0)
+    ab = ab + jnp.where(ns_miss, sb * shb, 0.0)
+
+    # BRDF + scale recurrence — identical to mc_step
+    lam = fx * cnx + fy * cny + fz * cnz
+    pos_lam = lam > 0.0
+    bdr = jnp.where(pos_lam, m["dr"] * lam, 0.0)
+    bdg = jnp.where(pos_lam, m["dg"] * lam, 0.0)
+    bdb = jnp.where(pos_lam, m["db"] * lam, 0.0)
+    e = 1.0 / (m["smoothness"] + kc.F32_EPS)
+    energy = (e + 8.0) / np.float32(8.0 * np.pi)
+    rfx = 2.0 * lam * cnx - fx
+    rfy = 2.0 * lam * cny - fy
+    rfz = 2.0 * lam * cnz - fz
+    amount = kc.powf(
+        jnp.maximum(-(rfx * cdx + rfy * cdy + rfz * cdz), 0.0), e
+    ) * energy
+    bsr = jnp.where(pos_lam, m["sr"] * amount, 0.0)
+    bsg = jnp.where(pos_lam, m["sg"] * amount, 0.0)
+    bsb = jnp.where(pos_lam, m["sb"] * amount, 0.0)
+    brr = jnp.where(sel_d, bdr, bsr)
+    brg = jnp.where(sel_d, bdg, bsg)
+    brb = jnp.where(sel_d, bdb, bsb)
+    decay = kc.powf(m["decay"], mm["travel"])
+
+    half = jnp.float32(0.5)
+    B_base = jnp.where(use_next, half, 0.0)
+    Br = jnp.where(is_rb, B_base * brr, decay)
+    Bg = jnp.where(is_rb, B_base * brg, decay)
+    Bb = jnp.where(is_rb, B_base * brb, decay)
+
+    # defer the hit-shade: f = select(is_rb, 0.5, decay); the pre-update
+    # scale rides along so the next kernel reproduces sr * (f * shade)
+    # in mc_step's exact association
+    df_new = jnp.where(is_rb, half, decay)
+    pr_new, pg_new, pb_new = sr, sg, sb
+
+    aa = adv_active
+    sr = sr * jnp.where(aa, Br, 0.0)
+    sg = sg * jnp.where(aa, Bg, 0.0)
+    sb = sb * jnp.where(aa, Bb, 0.0)
+
+    new_st = dict(
+        alive=adv_active & use_next,
+        ar=ar, ag=ag, ab=ab, sr=sr, sg=sg, sb=sb,
+        cpx=nxt["px"], cpy=nxt["py"], cpz=nxt["pz"],
+        cnx=nxt["nx"], cny=nxt["ny"], cnz=nxt["nz"],
+        cu=nxt["u"], cv=nxt["v"],
+        cprim=nxt["prim"], cobj=nxt["obj"], cback=nxt["backface"],
+        cdx=adv_dx, cdy=adv_dy, cdz=adv_dz,
+        df=df_new, pr=pr_new, pg=pg_new, pb=pb_new,
+    )
+    return new_st, casts
+
+
+def mc_terminal_deferred(geom, mat_t, mat_T, lights, n_light: int,
+                         textures, st: dict, first: bool = False):
+    """Terminal for the deferred-shading walk: ONE shade sweep at the
+    current hit serves BOTH the carried deferred contribution and the
+    depth-exhausted terminal shade (the reference computes the same
+    shade(hit, ray) twice across its recursion boundary,
+    main.rs:563-570 + 524-527 — identical inputs, so one sweep suffices;
+    the cast counters still account for both, matching mc_step +
+    mc_terminal exactly).  `first=True` (depth 0) has nothing deferred."""
+    alive = st["alive"]
+    cpx, cpy, cpz = st["cpx"], st["cpy"], st["cpz"]
+    cnx, cny, cnz = st["cnx"], st["cny"], st["cnz"]
+    cdx, cdy, cdz = st["cdx"], st["cdy"], st["cdz"]
+    m3 = kc.eval_material(mat_t, textures, st["cobj"], st["cu"], st["cv"],
+                          mat_T)
+    nax, nay, naz = kc.rotate_from_z(cnx, cny, cnz,
+                                     m3["tnx"], m3["tny"], m3["tnz"])
+    sweep = geom.shadow_sweep(cpx, cpy, cpz, st["cprim"])
+    shr, shg, shb, cnt = kc.get_shade(
+        m3, lights, cpx, cpy, cpz, nax, nay, naz, -cdx, -cdy, -cdz,
+        alive, sweep, n_light,
+    )
+    ar, ag, ab = st["ar"], st["ag"], st["ab"]
+    if not first:
+        df = st["df"]
+        ar = ar + jnp.where(alive, st["pr"] * (df * shr), 0.0)
+        ag = ag + jnp.where(alive, st["pg"] * (df * shg), 0.0)
+        ab = ab + jnp.where(alive, st["pb"] * (df * shb), 0.0)
+        cnt = cnt + cnt  # the deferred shade's considers (same mask)
+    ar = ar + jnp.where(alive, st["sr"] * shr, 0.0)
+    ag = ag + jnp.where(alive, st["sg"] * shg, 0.0)
+    ab = ab + jnp.where(alive, st["sb"] * shb, 0.0)
+    return ar, ag, ab, cnt
 
 
 def mc_terminal(geom, mat_t, mat_T, lights, n_light: int, textures,
